@@ -1,0 +1,218 @@
+"""Bucketed open-addressing k-mer hash table.
+
+The TPU-native replacement for jellyfish's restricted counting
+(``jellyfish count --if kmer.fa``, reference library/identify.py:73-103):
+the DB k-mer set becomes a static hash table resident in HBM (or VMEM when
+small), and sample read k-mers probe it with pure vector arithmetic —
+a multiply-xor-shift mix, one or two 8-wide bucket gathers, and lane-wise
+compares.  No strings, no subprocesses.
+
+Layout
+------
+``n_buckets`` (power of two) buckets of ``BUCKET`` = 8 slots.  Three flat
+arrays of length ``n_buckets * BUCKET``:
+
+* ``key_hi``/``key_lo`` — uint32 halves of the packed k-mer (empty =
+  0xFFFFFFFF / 0xFFFFFFFF),
+* ``val`` — int32 k-mer id (empty = -1).
+
+Collisions fall through to the next bucket (bucket-level linear probing);
+``max_probe`` is recorded at build time so queries unroll a static probe
+loop (usually 1).  Load factor defaults to 0.5.
+
+The mixing function is a murmur3-style 32-bit finalizer over both halves;
+queries and the host builder share it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+BUCKET = 8
+_EMPTY32 = np.uint32(0xFFFFFFFF)
+
+
+def _fmix32_np(h):
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def mix_np(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """32-bit hash of a (hi, lo) packed k-mer — NumPy version."""
+    h = _fmix32_np(hi.astype(np.uint32) ^ np.uint32(0x9E3779B9))
+    return _fmix32_np(h ^ lo.astype(np.uint32))
+
+
+def mix_jnp(hi, lo):
+    """Same mix on device (uint32 wrap-around semantics match NumPy)."""
+    import jax.numpy as jnp
+
+    def fmix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return h
+
+    h = fmix(hi.astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
+    return fmix(h ^ lo.astype(jnp.uint32))
+
+
+@dataclasses.dataclass
+class KmerTable:
+    """Static k-mer -> id hash table (host arrays; ship halves to device)."""
+
+    key_hi: np.ndarray  # uint32 [n_buckets * BUCKET]
+    key_lo: np.ndarray  # uint32 [n_buckets * BUCKET]
+    val: np.ndarray     # int32  [n_buckets * BUCKET]
+    n_buckets: int
+    max_probe: int
+    n_keys: int
+    k: int
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(cls, keys_u64: np.ndarray, k: int, values: np.ndarray | None = None,
+              load_factor: float = 0.5) -> "KmerTable":
+        """Build from unique packed k-mers (uint64). ``values[i]`` defaults to i."""
+        keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
+        n = int(keys_u64.shape[0])
+        if values is None:
+            values = np.arange(n, dtype=np.int32)
+        else:
+            values = np.asarray(values, dtype=np.int32)
+        n_buckets = 1
+        while n_buckets * BUCKET * load_factor < max(n, 1):
+            n_buckets *= 2
+        cap = n_buckets * BUCKET
+        key_hi = np.full(cap, _EMPTY32, dtype=np.uint32)
+        key_lo = np.full(cap, _EMPTY32, dtype=np.uint32)
+        val = np.full(cap, -1, dtype=np.int32)
+
+        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bucket = (mix_np(hi, lo) & np.uint32(n_buckets - 1)).astype(np.int64)
+
+        # Vectorized cascading placement: each round places every pending key
+        # whose within-bucket rank fits the bucket's remaining capacity, then
+        # advances the overflow to the next bucket.  Terminates because total
+        # keys < total slots.
+        free = np.full(n_buckets, BUCKET, dtype=np.int64)  # free slots/bucket
+        pending = np.arange(n, dtype=np.int64)
+        cur_bucket = bucket.copy()
+        max_probe = 1
+        probe_round = 0
+        while pending.size:
+            order = np.argsort(cur_bucket[pending], kind="stable")
+            p_sorted = pending[order]
+            b_sorted = cur_bucket[p_sorted]
+            # rank of each key within its current bucket group
+            uniq, start_idx, counts = np.unique(
+                b_sorted, return_index=True, return_counts=True
+            )
+            rank = np.arange(p_sorted.size) - np.repeat(start_idx, counts)
+            capacity = free[b_sorted]
+            fits = rank < capacity
+            placed = p_sorted[fits]
+            if placed.size:
+                slot_in_bucket = (BUCKET - capacity[fits]) + rank[fits]
+                pos = b_sorted[fits] * BUCKET + slot_in_bucket
+                key_hi[pos] = hi[placed]
+                key_lo[pos] = lo[placed]
+                val[pos] = values[placed]
+            np.subtract.at(free, uniq, np.minimum(counts, free[uniq]))
+            pending = p_sorted[~fits]
+            if pending.size:
+                cur_bucket[pending] = (cur_bucket[pending] + 1) % n_buckets
+                probe_round += 1
+                max_probe = probe_round + 1
+                if probe_round > n_buckets:
+                    raise RuntimeError("hash table build failed to converge")
+        return cls(key_hi=key_hi, key_lo=key_lo, val=val, n_buckets=n_buckets,
+                   max_probe=max_probe, n_keys=n, k=k)
+
+    # ------------------------------------------------------------- query
+    def lookup_host(self, keys_u64: np.ndarray) -> np.ndarray:
+        """NumPy lookup (oracle/tests/host paths). Returns int32 ids, -1 miss."""
+        keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
+        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bucket = mix_np(hi, lo).astype(np.int64) & (self.n_buckets - 1)
+        out = np.full(keys_u64.shape[0], -1, dtype=np.int32)
+        lane = np.arange(BUCKET, dtype=np.int64)
+        for p in range(self.max_probe):
+            base = ((bucket + p) % self.n_buckets) * BUCKET
+            idx = base[:, None] + lane[None, :]
+            hit = (
+                (self.key_hi[idx] == hi[:, None])
+                & (self.key_lo[idx] == lo[:, None])
+                & (self.val[idx] >= 0)
+            )
+            found = np.where(hit, self.val[idx], -1).max(axis=1)
+            out = np.where(out < 0, found, out)
+        return out
+
+    def device_arrays(self):
+        """(key_hi, key_lo, val) as jnp arrays for the jit query path."""
+        import jax.numpy as jnp
+
+        return (
+            jnp.asarray(self.key_hi),
+            jnp.asarray(self.key_lo),
+            jnp.asarray(self.val),
+        )
+
+    # --------------------------------------------------------------- io
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            key_hi=self.key_hi,
+            key_lo=self.key_lo,
+            val=self.val,
+            meta=np.array([self.n_buckets, self.max_probe, self.n_keys, self.k],
+                          dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "KmerTable":
+        z = np.load(path)
+        n_buckets, max_probe, n_keys, k = (int(x) for x in z["meta"])
+        return cls(key_hi=z["key_hi"], key_lo=z["key_lo"], val=z["val"],
+                   n_buckets=n_buckets, max_probe=max_probe, n_keys=n_keys, k=k)
+
+
+def lookup_device(key_hi, key_lo, val, n_buckets: int, max_probe: int, hi, lo):
+    """Jit-friendly device lookup.
+
+    Args:
+      key_hi/key_lo/val: table arrays (jnp, flat ``n_buckets*BUCKET``).
+      n_buckets, max_probe: static ints.
+      hi, lo: query arrays (any shape, uint32).
+
+    Returns int32 ids of the queries' k-mers (-1 = miss), same shape.
+    """
+    import jax.numpy as jnp
+
+    shape = hi.shape
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    bucket = (mix_jnp(hi, lo) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+    lane = jnp.arange(BUCKET, dtype=jnp.int32)
+    out = jnp.full(hi.shape, -1, dtype=jnp.int32)
+    for p in range(max_probe):
+        base = ((bucket + p) & jnp.int32(n_buckets - 1)) * BUCKET
+        idx = base[:, None] + lane[None, :]
+        thi = key_hi.at[idx].get(mode="promise_in_bounds")
+        tlo = key_lo.at[idx].get(mode="promise_in_bounds")
+        tval = val.at[idx].get(mode="promise_in_bounds")
+        hit = (thi == hi[:, None]) & (tlo == lo[:, None]) & (tval >= 0)
+        found = jnp.max(jnp.where(hit, tval, -1), axis=1)
+        out = jnp.where(out < 0, found, out)
+    return out.reshape(shape)

@@ -1,0 +1,151 @@
+"""2-bit k-mer packing on the host (NumPy).
+
+Replaces the reference's string k-mers + C ``seqpy.revcomp``
+(library/seqpy.c:5-36) and the pure-Python per-genome k-mer scans
+(library/Build_tree.py:93-130, library/Build_kmer_sets...sp.py:518-543)
+with vectorized packed-integer arithmetic.
+
+Encoding: A=0, C=1, G=2, T=3, anything else (N, IUPAC codes) = 4
+(invalid).  A k-mer is packed MSB-first into the low ``2k`` bits of a
+``uint64`` — base ``i`` (0-indexed from the 5' end) occupies bits
+``[2*(k-1-i), 2*(k-1-i)+1]``.  With this encoding the reverse complement
+is ``(~x)`` with the 2-bit groups reversed, and lexicographic order of
+k-mer strings equals numeric order of packed values.
+
+Device code carries packed k-mers as (hi, lo) ``uint32`` pairs because
+TPUs have no native 64-bit integer lanes; :func:`split_u64` /
+:func:`join_u32` convert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CODE = np.full(256, 4, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE[_b] = _i
+for _i, _b in enumerate(b"acgt"):
+    _CODE[_b] = _i
+
+_BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+
+
+def encode_seq(seq) -> np.ndarray:
+    """Encode a DNA string/bytes into uint8 codes (0..3; 4 = invalid)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return _CODE[raw]
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    return _BASES[np.minimum(codes, 4)].tobytes().decode("ascii")
+
+
+def pack_kmers(codes: np.ndarray, k: int):
+    """All k-mer windows of a code array.
+
+    Returns ``(kmers, valid)`` where ``kmers`` is ``uint64[n-k+1]`` (MSB-first
+    packed) and ``valid`` marks windows free of invalid bases.  Matches the
+    reference's per-position scan (Build_tree.py:99-109) but vectorized:
+    ``k`` shift-or passes over the array.
+    """
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    m = n - k + 1
+    if m <= 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool))
+    out = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        out <<= np.uint64(2)
+        out |= (codes[j : j + m] & np.uint8(3)).astype(np.uint64)
+    bad = np.cumsum(np.concatenate([[0], (codes >= 4).astype(np.int64)]))
+    valid = (bad[k:] - bad[:-k]) == 0
+    return out, valid
+
+
+def revcomp_packed(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of packed k-mers (vectorized bit tricks).
+
+    Equivalent of seqpy.revcomp (library/seqpy.c:24-36) on packed values:
+    complement = bitwise NOT (A<->T, C<->G under the 0..3 code), order
+    reversal = 2-bit-group reversal of the 64-bit word, then realign.
+    """
+    x = np.asarray(kmers, dtype=np.uint64)
+    x = ~x
+    x = ((x >> np.uint64(2)) & _M2) | ((x & _M2) << np.uint64(2))
+    x = ((x >> np.uint64(4)) & _M4) | ((x & _M4) << np.uint64(4))
+    x = x.byteswap()
+    x >>= np.uint64(64 - 2 * k)
+    return x
+
+
+def canonical_packed(kmers: np.ndarray, k: int) -> np.ndarray:
+    """min(forward, reverse-complement) — the memory-efficient DB's canonical
+    rule (Build_tree_mem.py canonicalization, min of the two strings).
+
+    String-lexicographic min equals numeric min under MSB-first packing.
+    """
+    rc = revcomp_packed(kmers, k)
+    return np.minimum(np.asarray(kmers, dtype=np.uint64), rc)
+
+
+def decode_kmer(kmer: int, k: int) -> str:
+    """Unpack a single packed k-mer back to its string (debug/IO)."""
+    out = bytearray(k)
+    x = int(kmer)
+    for i in range(k - 1, -1, -1):
+        out[i] = b"ACGT"[x & 3]
+        x >>= 2
+    return out.decode("ascii")
+
+
+def split_u64(x: np.ndarray):
+    """uint64 -> (hi uint32, lo uint32) for device transport."""
+    x = np.asarray(x, dtype=np.uint64)
+    return (x >> np.uint64(32)).astype(np.uint32), (x & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+
+
+def join_u32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def seq_kmer_set(
+    seqs,
+    k: int,
+    *,
+    both_strands: bool = True,
+    canonical: bool = False,
+    unique: bool = True,
+) -> np.ndarray:
+    """Packed k-mers of one or more sequences.
+
+    ``both_strands=True`` emits forward and reverse-complement k-mers as
+    separate values — this mirrors the reference DB inserting both
+    orientations (Build_tree.py:101-109), which is what makes
+    orientation-free read matching work without canonicalizing queries.
+    ``canonical=True`` instead emits min(fwd, rc) (memory-efficient mode).
+    """
+    if isinstance(seqs, (str, bytes)):
+        seqs = [seqs]
+    parts = []
+    for s in seqs:
+        codes = s if isinstance(s, np.ndarray) else encode_seq(s)
+        km, valid = pack_kmers(codes, k)
+        km = km[valid]
+        if canonical:
+            km = canonical_packed(km, k)
+        elif both_strands:
+            km = np.concatenate([km, revcomp_packed(km, k)])
+        parts.append(km)
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    out = np.concatenate(parts)
+    if unique:
+        out = np.unique(out)
+    return out

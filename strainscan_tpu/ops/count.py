@@ -1,0 +1,89 @@
+"""Fused restricted k-mer counting: reads -> per-DB-k-mer hit counts.
+
+This is the jellyfish-equivalent hot path (reference
+library/identify.py:73-103 and library/Vote_Strain_L2_Lasso_new_sp.py:354-372
+shell out to ``jellyfish count --if <kmers> <fastq>`` + ``dump``): a batch of
+2-bit-encoded reads is k-merized on device, every window probes the DB hash
+table, and hits scatter-add into a count vector aligned with the DB k-mer id
+space.
+
+The default (non-memory-efficient) DB stores *both* orientations of every
+k-mer as separate entries — exactly like the reference's kmer.fa
+(Build_tree.py:101-109 inserts forward and revcomp separately) — so queries
+probe only the forward orientation of each read window and the statistics
+match jellyfish's non-canonical counting bit-for-bit.  Memory-efficient DBs
+store canonical (min(fwd, rc)) k-mers and queries canonicalize first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strainscan_tpu.index.hashtable import KmerTable, lookup_device
+from strainscan_tpu.kmer import device as kdev
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_buckets", "max_probe", "n_kmers", "canonical"),
+    donate_argnames=("counts",),
+)
+def count_batch(
+    counts: jax.Array,
+    codes: jax.Array,
+    key_hi: jax.Array,
+    key_lo: jax.Array,
+    val: jax.Array,
+    *,
+    k: int,
+    n_buckets: int,
+    max_probe: int,
+    n_kmers: int,
+    canonical: bool,
+) -> jax.Array:
+    """Accumulate one read batch into ``counts`` (donated, int32 [n_kmers])."""
+    hi, lo, valid = kdev.extract_kmers(codes, k)
+    if canonical:
+        hi, lo = kdev.canonical(hi, lo, k)
+    ids = lookup_device(key_hi, key_lo, val, n_buckets, max_probe, hi, lo)
+    ids = jnp.where(valid, ids, -1).reshape(-1)
+    # scatter-add; misses land in a trash slot that is sliced away
+    safe = jnp.where(ids >= 0, ids, n_kmers)
+    ones = jnp.ones_like(safe, dtype=counts.dtype)
+    padded = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
+    padded = padded.at[safe].add(ones, mode="drop")
+    return padded[:n_kmers]
+
+
+class CountPipeline:
+    """Streaming counter over read batches against one DB k-mer table."""
+
+    def __init__(self, table: KmerTable, canonical: bool = False):
+        self.table = table
+        self.canonical = canonical
+        self.key_hi, self.key_lo, self.val = table.device_arrays()
+        self.counts = jnp.zeros((table.n_keys,), dtype=jnp.int32)
+
+    def add_batch(self, codes: np.ndarray) -> None:
+        """codes: uint8 [B, L] encoded reads (0..3 bases, >=4 pad/N)."""
+        self.counts = count_batch(
+            self.counts,
+            jnp.asarray(codes),
+            self.key_hi,
+            self.key_lo,
+            self.val,
+            k=self.table.k,
+            n_buckets=self.table.n_buckets,
+            max_probe=self.table.max_probe,
+            n_kmers=self.table.n_keys,
+            canonical=self.canonical,
+        )
+
+    def finish(self) -> np.ndarray:
+        """int32 [n_keys] hit counts aligned with the table's id space."""
+        return np.asarray(jax.device_get(self.counts))

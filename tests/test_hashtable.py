@@ -1,0 +1,101 @@
+"""Hash table build/lookup, host and device, plus the count pipeline."""
+
+import numpy as np
+
+from strainscan_tpu.index.hashtable import BUCKET, KmerTable, lookup_device
+from strainscan_tpu.kmer import pack
+from strainscan_tpu.ops.count import CountPipeline
+
+RNG = np.random.default_rng(2)
+
+
+def _keys(n):
+    return np.unique(RNG.integers(0, 2**62, size=n, dtype=np.uint64))
+
+
+def test_build_and_host_lookup():
+    keys = _keys(5000)
+    t = KmerTable.build(keys, k=31)
+    got = t.lookup_host(keys)
+    assert np.array_equal(got, np.arange(keys.size, dtype=np.int32))
+
+
+def test_miss_returns_minus_one():
+    keys = _keys(1000)
+    t = KmerTable.build(keys, k=31)
+    probe = _keys(2000)
+    mask = ~np.isin(probe, keys)
+    got = t.lookup_host(probe)
+    assert (got[mask] == -1).all()
+    assert (got[~mask] >= 0).all()
+
+
+def test_high_load_factor_converges():
+    keys = _keys(4000)
+    t = KmerTable.build(keys, k=31, load_factor=0.9)
+    assert np.array_equal(t.lookup_host(keys), np.arange(keys.size))
+    assert t.max_probe >= 1
+
+
+def test_device_lookup_matches_host():
+    keys = _keys(3000)
+    t = KmerTable.build(keys, k=31)
+    probe = np.concatenate([keys[::3], _keys(500)])
+    RNG.shuffle(probe)
+    hi, lo = pack.split_u64(probe)
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        lookup_device(*t.device_arrays(), t.n_buckets, t.max_probe,
+                      jnp.asarray(hi), jnp.asarray(lo))
+    )
+    assert np.array_equal(got, t.lookup_host(probe))
+
+
+def test_save_load_roundtrip(tmp_path):
+    keys = _keys(800)
+    t = KmerTable.build(keys, k=31)
+    p = str(tmp_path / "table.npz")
+    t.save(p)
+    t2 = KmerTable.load(p)
+    assert np.array_equal(t2.lookup_host(keys), np.arange(keys.size))
+    assert (t2.n_buckets, t2.max_probe, t2.n_keys, t2.k) == (
+        t.n_buckets, t.max_probe, t.n_keys, t.k)
+
+
+def test_count_pipeline_matches_naive():
+    k = 31
+    # DB: k-mers of a random "genome", both orientations (reference semantics)
+    genome = "".join(RNG.choice(list("ACGT"), size=2000))
+    db = pack.seq_kmer_set(genome, k, both_strands=True)
+    t = KmerTable.build(db, k=k)
+    # reads: substrings of the genome and random junk
+    reads = []
+    for _ in range(50):
+        s = RNG.integers(0, len(genome) - 90)
+        reads.append(genome[s : s + 90])
+    for _ in range(20):
+        reads.append("".join(RNG.choice(list("ACGT"), size=90)))
+    codes = np.full((len(reads), 100), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = pack.encode_seq(r)
+
+    pipe = CountPipeline(t)
+    pipe.add_batch(codes[:40])
+    pipe.add_batch(codes[40:])
+    counts = pipe.finish()
+
+    # naive oracle: forward-orientation window counting (jellyfish semantics)
+    expect = np.zeros(t.n_keys, dtype=np.int64)
+    key_to_id = {int(kk): i for i, kk in enumerate(db)}
+    for r in reads:
+        km, valid = pack.pack_kmers(pack.encode_seq(r), k)
+        for x in km[valid]:
+            j = key_to_id.get(int(x))
+            if j is not None:
+                expect[j] += 1
+    assert np.array_equal(counts, expect)
+
+
+def test_bucket_constant():
+    assert BUCKET == 8

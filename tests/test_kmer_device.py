@@ -1,0 +1,59 @@
+"""Device k-mer extraction must agree with host packing bit-for-bit."""
+
+import numpy as np
+
+from strainscan_tpu.kmer import device as kdev
+from strainscan_tpu.kmer import pack
+
+RNG = np.random.default_rng(1)
+
+
+def _random_reads(n, length, n_rate=0.0):
+    codes = RNG.integers(0, 4, size=(n, length)).astype(np.uint8)
+    if n_rate:
+        mask = RNG.random((n, length)) < n_rate
+        codes[mask] = 4
+    return codes
+
+
+def test_extract_matches_host():
+    k = 31
+    codes = _random_reads(16, 100, n_rate=0.02)
+    hi, lo, valid = (np.asarray(x) for x in kdev.extract_kmers(codes, k))
+    for r in range(16):
+        km, v = pack.pack_kmers(codes[r], k)
+        got = pack.join_u32(hi[r], lo[r])
+        assert np.array_equal(v, valid[r])
+        assert np.array_equal(got[v], km[v])
+
+
+def test_extract_small_k():
+    k = 9
+    codes = _random_reads(4, 40)
+    hi, lo, valid = (np.asarray(x) for x in kdev.extract_kmers(codes, k))
+    assert (hi == 0).all()
+    for r in range(4):
+        km, v = pack.pack_kmers(codes[r], k)
+        assert np.array_equal(pack.join_u32(hi[r], lo[r])[v], km[v])
+
+
+def test_device_revcomp_matches_host():
+    k = 31
+    codes = _random_reads(8, 64)
+    hi, lo, _ = kdev.extract_kmers(codes, k)
+    rhi, rlo = (np.asarray(x) for x in kdev.revcomp(hi, lo, k))
+    for r in range(8):
+        km, _ = pack.pack_kmers(codes[r], k)
+        expect = pack.revcomp_packed(km, k)
+        assert np.array_equal(pack.join_u32(rhi[r], rlo[r]), expect)
+
+
+def test_device_canonical_matches_host():
+    k = 31
+    codes = _random_reads(8, 64)
+    hi, lo, _ = kdev.extract_kmers(codes, k)
+    chi, clo = (np.asarray(x) for x in kdev.canonical(hi, lo, k))
+    for r in range(8):
+        km, _ = pack.pack_kmers(codes[r], k)
+        expect = pack.canonical_packed(km, k)
+        assert np.array_equal(pack.join_u32(chi[r], clo[r]), expect)

@@ -1,0 +1,99 @@
+"""Unit tests for host-side 2-bit k-mer packing against string oracles."""
+
+import numpy as np
+import pytest
+
+from strainscan_tpu.kmer import pack
+
+
+def _revcomp_str(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def _pack_str(s: str) -> int:
+    v = 0
+    for c in s:
+        v = (v << 2) | "ACGT".index(c)
+    return v
+
+
+RNG = np.random.default_rng(0)
+
+
+def _random_seq(n, alphabet="ACGT"):
+    return "".join(RNG.choice(list(alphabet), size=n))
+
+
+def test_encode_decode_roundtrip():
+    s = "ACGTNacgtX"
+    codes = pack.encode_seq(s)
+    assert list(codes) == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("k", [5, 16, 21, 31])
+def test_pack_matches_string_oracle(k):
+    s = _random_seq(200)
+    km, valid = pack.pack_kmers(pack.encode_seq(s), k)
+    assert valid.all()
+    for i in range(0, len(s) - k + 1, 17):
+        assert int(km[i]) == _pack_str(s[i : i + k])
+
+
+def test_invalid_windows_masked():
+    s = "ACGTACGTACGTNACGTACGTACGTACGT"
+    k = 5
+    km, valid = pack.pack_kmers(pack.encode_seq(s), k)
+    n_pos = s.index("N")
+    for i in range(len(s) - k + 1):
+        expect = not (i <= n_pos <= i + k - 1)
+        assert valid[i] == expect
+
+
+@pytest.mark.parametrize("k", [5, 16, 31])
+def test_revcomp_matches_string_oracle(k):
+    s = _random_seq(100)
+    km, _ = pack.pack_kmers(pack.encode_seq(s), k)
+    rc = pack.revcomp_packed(km, k)
+    for i in range(0, len(s) - k + 1, 7):
+        assert pack.decode_kmer(int(rc[i]), k) == _revcomp_str(s[i : i + k])
+
+
+def test_revcomp_involution():
+    k = 31
+    s = _random_seq(500)
+    km, _ = pack.pack_kmers(pack.encode_seq(s), k)
+    assert np.array_equal(pack.revcomp_packed(pack.revcomp_packed(km, k), k), km)
+
+
+def test_canonical_is_min():
+    k = 31
+    s = _random_seq(300)
+    km, _ = pack.pack_kmers(pack.encode_seq(s), k)
+    rc = pack.revcomp_packed(km, k)
+    can = pack.canonical_packed(km, k)
+    assert np.array_equal(can, np.minimum(km, rc))
+
+
+def test_decode_kmer_roundtrip():
+    k = 31
+    s = _random_seq(k)
+    km, _ = pack.pack_kmers(pack.encode_seq(s), k)
+    assert pack.decode_kmer(int(km[0]), k) == s
+
+
+def test_seq_kmer_set_both_strands():
+    k = 7
+    s = _random_seq(50)
+    km = pack.seq_kmer_set(s, k, both_strands=True)
+    fwd, valid = pack.pack_kmers(pack.encode_seq(s), k)
+    expect = np.unique(
+        np.concatenate([fwd[valid], pack.revcomp_packed(fwd[valid], k)])
+    )
+    assert np.array_equal(km, expect)
+
+
+def test_split_join_u32():
+    x = RNG.integers(0, 2**62, size=100, dtype=np.uint64)
+    hi, lo = pack.split_u64(x)
+    assert np.array_equal(pack.join_u32(hi, lo), x)

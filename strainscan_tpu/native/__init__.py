@@ -1,0 +1,80 @@
+"""Compile-on-demand ctypes bindings for the native FASTX parser.
+
+The shared library is built from ``fastx.c`` with the system ``g++`` the
+first time it is needed and cached next to the source keyed by a source
+hash.  Every entry point degrades gracefully: if no compiler or zlib is
+available, callers fall back to the pure-Python reader in
+:mod:`strainscan_tpu.io.fastx`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastx.c")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_so() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    build_dir = os.path.join(_DIR, "_build")
+    so_path = os.path.join(build_dir, f"fastx-{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(build_dir, exist_ok=True)
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-x", "c", _SRC,
+           "-o", tmp, "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+        return so_path
+    except Exception:
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-x", "c", _SRC, "-o", tmp,
+                 "-lz"],
+                check=True, capture_output=True)
+            os.replace(tmp, so_path)
+            return so_path
+        except Exception:
+            return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The compiled library, or None when native support is unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build_so()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.fastx_open.restype = ctypes.c_void_p
+        lib.fastx_open.argtypes = [ctypes.c_char_p]
+        lib.fastx_close.argtypes = [ctypes.c_void_p]
+        lib.fastx_next_batch.restype = ctypes.c_int
+        lib.fastx_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.fastx_kmers.restype = ctypes.c_longlong
+        lib.fastx_kmers.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
+        lib.fastx_free_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        _LIB = lib
+        return _LIB

@@ -1,0 +1,289 @@
+/* Native FASTA/FASTQ reader + 2-bit packer for StrainScan-TPU.
+ *
+ * Replaces the reference's per-read Python/Biopython parsing and the
+ * jellyfish subprocess input path (library/identify.py:73-103) with a
+ * zero-copy C data loader: sequences stream through zlib (gzFile reads
+ * both plain and gzipped files), bases are encoded A=0 C=1 G=2 T=3 /
+ * other=4 straight into a caller-provided [batch, maxlen] uint8 buffer
+ * that is shipped to the TPU as-is.  Long reads are split into chunks
+ * with a (k-1)-base overlap so no k-mer window is lost.
+ *
+ * Also provides whole-genome packed-k-mer extraction for DB builds
+ * (replacing Build_tree.py:93-130 / Build_kmer_sets...sp.py:518-543
+ * pure-Python scans).
+ *
+ * Exposed via ctypes; see strainscan_tpu/native/__init__.py.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+#define LINEBUF (1 << 20)
+
+static unsigned char CODE[256];
+static int code_init = 0;
+
+static void init_code(void) {
+    if (code_init) return;
+    memset(CODE, 4, 256);
+    CODE['A'] = CODE['a'] = 0;
+    CODE['C'] = CODE['c'] = 1;
+    CODE['G'] = CODE['g'] = 2;
+    CODE['T'] = CODE['t'] = 3;
+    code_init = 1;
+}
+
+typedef struct {
+    gzFile f;
+    int fmt;          /* 0 unknown, 1 fastq, 2 fasta */
+    char *line;       /* line buffer */
+    size_t line_cap;
+    /* carry-over: encoded remainder of a read too long for one row */
+    unsigned char *carry;
+    size_t carry_len, carry_cap, carry_off;
+    /* fasta: pending sequence accumulation */
+    unsigned char *seq;
+    size_t seq_len, seq_cap;
+    int eof;
+} fastx_t;
+
+static char *read_line(fastx_t *h) {
+    if (h->eof) return NULL;
+    size_t len = 0;
+    for (;;) {
+        if (len + LINEBUF + 1 > h->line_cap) {
+            h->line_cap = (len + LINEBUF + 1) * 2;
+            h->line = (char *)realloc(h->line, h->line_cap);
+        }
+        char *got = gzgets(h->f, h->line + len, LINEBUF);
+        if (!got) {
+            if (len == 0) { h->eof = 1; return NULL; }
+            h->line[len] = 0;
+            return h->line;
+        }
+        len += strlen(h->line + len);
+        if (len > 0 && h->line[len - 1] == '\n') {
+            h->line[--len] = 0;
+            if (len > 0 && h->line[len - 1] == '\r') h->line[--len] = 0;
+            return h->line;
+        }
+    }
+}
+
+void *fastx_open(const char *path) {
+    init_code();
+    gzFile f = gzopen(path, "rb");
+    if (!f) return NULL;
+    gzbuffer(f, 1 << 20);
+    fastx_t *h = (fastx_t *)calloc(1, sizeof(fastx_t));
+    h->f = f;
+    h->line_cap = LINEBUF + 1;
+    h->line = (char *)malloc(h->line_cap);
+    return h;
+}
+
+void fastx_close(void *vh) {
+    fastx_t *h = (fastx_t *)vh;
+    if (!h) return;
+    if (h->f) gzclose(h->f);
+    free(h->line);
+    free(h->carry);
+    free(h->seq);
+    free(h);
+}
+
+static void stash_carry(fastx_t *h, const unsigned char *enc, size_t n) {
+    if (n > h->carry_cap) {
+        h->carry_cap = n * 2;
+        h->carry = (unsigned char *)realloc(h->carry, h->carry_cap);
+    }
+    memcpy(h->carry, enc, n);
+    h->carry_len = n;
+    h->carry_off = 0;
+}
+
+/* Encode seq into row; chunk remainder into carry. Returns rows used (1). */
+static int emit_seq(fastx_t *h, const char *seq, size_t n,
+                    unsigned char *row, int maxlen, int k) {
+    size_t take = n > (size_t)maxlen ? (size_t)maxlen : n;
+    for (size_t i = 0; i < take; i++) row[i] = CODE[(unsigned char)seq[i]];
+    memset(row + take, 4, maxlen - take);
+    if (n > take) {
+        /* remainder with k-1 overlap */
+        size_t start = take - (k - 1);
+        size_t rem = n - start;
+        if (rem > h->carry_cap) {
+            h->carry_cap = rem * 2;
+            h->carry = (unsigned char *)realloc(h->carry, h->carry_cap);
+        }
+        for (size_t i = 0; i < rem; i++)
+            h->carry[i] = CODE[(unsigned char)seq[start + i]];
+        h->carry_len = rem;
+        h->carry_off = 0;
+    }
+    return 1;
+}
+
+/* Emit from carry buffer into row; keeps overlap chunking. */
+static int emit_carry(fastx_t *h, unsigned char *row, int maxlen, int k) {
+    size_t avail = h->carry_len - h->carry_off;
+    size_t take = avail > (size_t)maxlen ? (size_t)maxlen : avail;
+    memcpy(row, h->carry + h->carry_off, take);
+    memset(row + take, 4, maxlen - take);
+    if (avail > take) {
+        h->carry_off += take - (k - 1);
+    } else {
+        h->carry_len = h->carry_off = 0;
+    }
+    return 1;
+}
+
+/* Fill up to `batch` rows of `out` [batch, maxlen]. Returns rows filled. */
+int fastx_next_batch(void *vh, unsigned char *out, int batch, int maxlen, int k) {
+    fastx_t *h = (fastx_t *)vh;
+    int rows = 0;
+    while (rows < batch) {
+        if (h->carry_len > h->carry_off) {
+            rows += emit_carry(h, out + (size_t)rows * maxlen, maxlen, k);
+            continue;
+        }
+        char *line = read_line(h);
+        if (!line) {
+            /* flush pending fasta record */
+            if (h->fmt == 2 && h->seq_len > 0) {
+                rows += emit_seq(h, (const char *)h->seq, h->seq_len,
+                                 out + (size_t)rows * maxlen, maxlen, k);
+                h->seq_len = 0;
+                continue;
+            }
+            break;
+        }
+        if (line[0] == 0) continue;
+        if (h->fmt == 0) h->fmt = (line[0] == '@') ? 1 : 2;
+        if (h->fmt == 1) {
+            /* header line; next line is the sequence */
+            char *seq = read_line(h);
+            if (!seq) break;
+            size_t n = strlen(seq);
+            rows += emit_seq(h, seq, n, out + (size_t)rows * maxlen, maxlen, k);
+            read_line(h); /* '+' */
+            read_line(h); /* quals */
+        } else {
+            if (line[0] == '>') {
+                if (h->seq_len > 0) {
+                    rows += emit_seq(h, (const char *)h->seq, h->seq_len,
+                                     out + (size_t)rows * maxlen, maxlen, k);
+                    h->seq_len = 0;
+                }
+            } else {
+                size_t n = strlen(line);
+                if (h->seq_len + n > h->seq_cap) {
+                    h->seq_cap = (h->seq_len + n) * 2 + 1024;
+                    h->seq = (unsigned char *)realloc(h->seq, h->seq_cap);
+                }
+                memcpy(h->seq + h->seq_len, line, n);
+                h->seq_len += n;
+            }
+        }
+    }
+    return rows;
+}
+
+/* ---------------- whole-genome packed k-mer extraction ---------------- */
+
+typedef struct {
+    uint64_t *data;
+    size_t len, cap;
+} u64vec;
+
+static void push(u64vec *v, uint64_t x) {
+    if (v->len == v->cap) {
+        v->cap = v->cap ? v->cap * 2 : (1 << 20);
+        v->data = (uint64_t *)realloc(v->data, v->cap * sizeof(uint64_t));
+    }
+    v->data[v->len++] = x;
+}
+
+static uint64_t revcomp64(uint64_t x, int k) {
+    x = ~x;
+    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+    x = (x >> 32) | (x << 32);
+    return x >> (64 - 2 * k);
+}
+
+static void scan_seq(const unsigned char *enc, size_t n, int k, int mode,
+                     u64vec *v) {
+    uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t cur = 0;
+    int run = 0;
+    for (size_t i = 0; i < n; i++) {
+        unsigned char c = enc[i];
+        if (c >= 4) { run = 0; cur = 0; continue; }
+        cur = ((cur << 2) | c) & mask;
+        if (++run >= k) {
+            if (mode == 0) {
+                push(v, cur);
+            } else if (mode == 1) {
+                push(v, cur);
+                push(v, revcomp64(cur, k));
+            } else {
+                uint64_t rc = revcomp64(cur, k);
+                push(v, cur < rc ? cur : rc);
+            }
+        }
+    }
+}
+
+/* Extract all packed k-mers of every sequence in `path`.
+ * mode: 0 = forward only, 1 = both orientations, 2 = canonical.
+ * Returns count; *out is malloc'ed (caller frees via fastx_free_u64). */
+long long fastx_kmers(const char *path, int k, int mode, uint64_t **out) {
+    init_code();
+    fastx_t *h = (fastx_t *)fastx_open(path);
+    if (!h) return -1;
+    u64vec v = {0, 0, 0};
+    unsigned char *enc = NULL;
+    size_t enc_cap = 0;
+    char *line;
+    /* simple record walk: concatenate seq lines, scan at record boundary */
+    size_t slen = 0;
+    int fmt = 0;
+    while ((line = read_line(h)) != NULL) {
+        if (line[0] == 0) continue;
+        if (fmt == 0) fmt = (line[0] == '@') ? 1 : 2;
+        if (fmt == 1) {
+            char *seq = read_line(h);
+            if (!seq) break;
+            size_t n = strlen(seq);
+            if (n > enc_cap) { enc_cap = n * 2; enc = (unsigned char *)realloc(enc, enc_cap); }
+            for (size_t i = 0; i < n; i++) enc[i] = CODE[(unsigned char)seq[i]];
+            scan_seq(enc, n, k, mode, &v);
+            read_line(h); read_line(h);
+        } else {
+            if (line[0] == '>') {
+                if (slen) { scan_seq(enc, slen, k, mode, &v); slen = 0; }
+            } else {
+                size_t n = strlen(line);
+                if (slen + n > enc_cap) {
+                    enc_cap = (slen + n) * 2 + 1024;
+                    enc = (unsigned char *)realloc(enc, enc_cap);
+                }
+                for (size_t i = 0; i < n; i++)
+                    enc[slen + i] = CODE[(unsigned char)line[i]];
+                slen += n;
+            }
+        }
+    }
+    if (fmt == 2 && slen) scan_seq(enc, slen, k, mode, &v);
+    free(enc);
+    fastx_close(h);
+    *out = v.data;
+    return (long long)v.len;
+}
+
+void fastx_free_u64(uint64_t *p) { free(p); }

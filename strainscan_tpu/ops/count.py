@@ -68,9 +68,28 @@ class CountPipeline:
         self.canonical = canonical
         self.key_hi, self.key_lo, self.val = table.device_arrays()
         self.counts = jnp.zeros((table.n_keys,), dtype=jnp.int32)
+        self._shape: Optional[tuple] = None
 
     def add_batch(self, codes: np.ndarray) -> None:
-        """codes: uint8 [B, L] encoded reads (0..3 bases, >=4 pad/N)."""
+        """codes: uint8 [B, L] encoded reads (0..3 bases, >=4 pad/N).
+
+        Batches are padded (rows of invalid code 4 contribute nothing) to
+        the first-seen shape so the whole stream compiles exactly once —
+        recompiling per partial final batch is expensive, especially under
+        remote-compile TPU setups.
+        """
+        if self._shape is None:
+            self._shape = codes.shape
+        rows, cols = self._shape
+        if codes.shape[1] != cols:
+            raise ValueError(f"batch maxlen changed: {codes.shape[1]} != {cols}")
+        if codes.shape[0] > rows:
+            for i in range(0, codes.shape[0], rows):
+                self.add_batch(codes[i : i + rows])
+            return
+        if codes.shape[0] < rows:
+            pad = np.full((rows - codes.shape[0], cols), 4, dtype=np.uint8)
+            codes = np.concatenate([np.asarray(codes), pad], axis=0)
         self.counts = count_batch(
             self.counts,
             jnp.asarray(codes),

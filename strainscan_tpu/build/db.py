@@ -1,0 +1,247 @@
+"""On-disk database format + full build pipeline.
+
+The DB is the contract between build and identify (reference layer L4:
+Tree_database/ text files + Kmer_Sets_L2 pickles, written at
+Build_tree.py:494-698 and Build_kmer_sets...sp.py:335-419).  Here it is a
+versioned directory of NumPy archives + JSON manifests:
+
+    DB/
+      manifest.json                  # version, k, mode, counts
+      cluster/distance.npz           # names + distance matrix
+      cluster/hclsMap_95.txt         # primary clustering (text, ref format)
+      cluster/hclsMap_95_recls.txt   # final clustering (post tree build)
+      cluster/Other_Strain_CN.txt    # re-assignment log
+      tree/structure.json            # topology, gcf, lengths, reconstructed
+      tree/kmers.npz                 # global k-mer array + per-node ids
+      tree/table.npz                 # hash table over the global k-mers
+      tree/overlap.npz               # reconstruction overlap positions
+      l2/C<cid>/data.npz             # k-mers, strain matrix, overlap matrix
+      l2/C<cid>/meta.json            # strain names, recluster info
+
+A ``Memory_DB`` marker file selects the canonical-k-mer (half-size) DB and
+the matching identify thresholds (reference StrainScan_build.py:128-134 /
+StrainScan.py:188-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from strainscan_tpu import __version__
+from strainscan_tpu.build.l2_build import L2Cluster
+from strainscan_tpu.build.tree_build import CST
+from strainscan_tpu.index.hashtable import KmerTable
+from strainscan_tpu.utils.trees import BinTree
+
+FORMAT_VERSION = 1
+
+
+def save_db(
+    out_dir: str,
+    cst: CST,
+    l2: Dict[int, L2Cluster],
+    names: List[str],
+    dist: np.ndarray,
+    cls95: Dict[int, List[str]],
+    moved,
+    memory_efficient: bool = False,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    cdir = os.path.join(out_dir, "cluster")
+    tdir = os.path.join(out_dir, "tree")
+    os.makedirs(cdir, exist_ok=True)
+    os.makedirs(tdir, exist_ok=True)
+
+    np.savez_compressed(os.path.join(cdir, "distance.npz"),
+                        names=np.array(names), dist=dist)
+    from strainscan_tpu.build.cluster import write_cls_map
+
+    write_cls_map(os.path.join(cdir, "hclsMap_95.txt"), cls95)
+    write_cls_map(os.path.join(cdir, "hclsMap_95_recls.txt"), cst.recls)
+    with open(os.path.join(cdir, "Other_Strain_CN.txt"), "w") as f:
+        for row in moved:
+            s, old, od, new, nd = row
+            f.write(f"{s}\t{old},{od}\t{new},{nd}\n")
+
+    # tree structure
+    struct = {
+        "root": cst.tree.root,
+        "children": {str(n): list(c) for n, c in cst.tree.children.items()},
+        "gcf": {str(n): s for n, s in cst.gcf.items()},
+        "node_length": {str(n): l for n, l in cst.node_length.items()},
+        "reconstructed": cst.reconstructed,
+        "recls": {str(c): m for c, m in cst.recls.items()},
+        "k": cst.k,
+    }
+    with open(os.path.join(tdir, "structure.json"), "w") as f:
+        json.dump(struct, f)
+    # node k-mer ids (ragged -> concat + offsets)
+    node_ids = sorted(cst.node_kmers)
+    offsets = np.zeros(len(node_ids) + 1, dtype=np.int64)
+    chunks = []
+    for i, n in enumerate(node_ids):
+        chunks.append(cst.node_kmers[n])
+        offsets[i + 1] = offsets[i] + cst.node_kmers[n].size
+    indices = (np.concatenate(chunks) if chunks
+               else np.empty(0, dtype=np.int32))
+    np.savez_compressed(
+        os.path.join(tdir, "kmers.npz"),
+        all_kmers=cst.all_kmers,
+        node_ids=np.array(node_ids, dtype=np.int64),
+        offsets=offsets,
+        indices=indices,
+    )
+    table = KmerTable.build(cst.all_kmers, k=cst.k)
+    table.save(os.path.join(tdir, "table.npz"))
+    # overlap info (leaf, node, ragged positions)
+    ol, on, oo, op = [], [], [0], []
+    for leaf in sorted(cst.overlap_info):
+        for node in sorted(cst.overlap_info[leaf]):
+            positions = cst.overlap_info[leaf][node]
+            ol.append(leaf)
+            on.append(node)
+            op.append(positions)
+            oo.append(oo[-1] + positions.size)
+    np.savez_compressed(
+        os.path.join(tdir, "overlap.npz"),
+        leaf=np.array(ol, dtype=np.int64),
+        node=np.array(on, dtype=np.int64),
+        offsets=np.array(oo, dtype=np.int64),
+        positions=(np.concatenate(op).astype(np.int32) if op
+                   else np.empty(0, dtype=np.int32)),
+    )
+
+    for cid, cl in l2.items():
+        d = os.path.join(out_dir, "l2", f"C{cid}")
+        os.makedirs(d, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(d, "data.npz"),
+            kmers=cl.kmers,
+            m_data=cl.matrix.data, m_indices=cl.matrix.indices,
+            m_indptr=cl.matrix.indptr,
+            m_shape=np.array(cl.matrix.shape),
+            o_data=cl.overlap.data, o_indices=cl.overlap.indices,
+            o_indptr=cl.overlap.indptr,
+            o_shape=np.array(cl.overlap.shape),
+        )
+        KmerTable.build(cl.kmers, k=cst.k).save(os.path.join(d, "table.npz"))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({
+                "strains": cl.strains,
+                "all_strains": cl.all_strains,
+                "recluster": {str(i): m for i, m in cl.recluster.items()},
+            }, f)
+
+    if memory_efficient:
+        open(os.path.join(out_dir, "Memory_DB"), "w").close()
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "format_version": FORMAT_VERSION,
+            "builder_version": __version__,
+            "k": cst.k,
+            "memory_efficient": memory_efficient,
+            "n_strains": len(names),
+            "n_clusters": len(cst.recls),
+            "n_tree_kmers": int(cst.all_kmers.size),
+        }, f, indent=1)
+
+
+@dataclasses.dataclass
+class TreeDB:
+    tree: BinTree
+    gcf: Dict[int, str]
+    node_length: Dict[int, int]
+    reconstructed: List[int]
+    recls: Dict[int, List[str]]
+    all_kmers: np.ndarray
+    node_kmers: Dict[int, np.ndarray]
+    overlap_info: Dict[int, Dict[int, np.ndarray]]
+    table: KmerTable
+    k: int
+    memory_efficient: bool
+
+
+@dataclasses.dataclass
+class L2DB:
+    cid: int
+    kmers: np.ndarray
+    matrix: sp.csr_matrix
+    overlap: sp.csr_matrix
+    strains: List[str]
+    all_strains: List[str]
+    recluster: Dict[int, List[str]]
+    table: KmerTable
+
+
+def load_manifest(db_dir: str) -> dict:
+    with open(os.path.join(db_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def load_tree_db(db_dir: str) -> TreeDB:
+    tdir = os.path.join(db_dir, "tree")
+    with open(os.path.join(tdir, "structure.json")) as f:
+        struct = json.load(f)
+    tree = BinTree()
+    tree.add_root(int(struct["root"]))
+    for n, (a, b) in struct["children"].items():
+        n, a, b = int(n), int(a), int(b)
+        tree.children[n] = (a, b)
+        tree.parent[a] = n
+        tree.parent[b] = n
+    z = np.load(os.path.join(tdir, "kmers.npz"))
+    node_ids = z["node_ids"]
+    offsets = z["offsets"]
+    indices = z["indices"]
+    node_kmers = {
+        int(n): indices[offsets[i]: offsets[i + 1]]
+        for i, n in enumerate(node_ids)
+    }
+    zo = np.load(os.path.join(tdir, "overlap.npz"))
+    overlap_info: Dict[int, Dict[int, np.ndarray]] = {}
+    for i in range(zo["leaf"].size):
+        leaf, node = int(zo["leaf"][i]), int(zo["node"][i])
+        s, e = zo["offsets"][i], zo["offsets"][i + 1]
+        overlap_info.setdefault(leaf, {})[node] = zo["positions"][s:e]
+    mem = os.path.exists(os.path.join(db_dir, "Memory_DB"))
+    return TreeDB(
+        tree=tree,
+        gcf={int(n): s for n, s in struct["gcf"].items()},
+        node_length={int(n): l for n, l in struct["node_length"].items()},
+        reconstructed=[int(x) for x in struct["reconstructed"]],
+        recls={int(c): m for c, m in struct["recls"].items()},
+        all_kmers=z["all_kmers"],
+        node_kmers=node_kmers,
+        overlap_info=overlap_info,
+        table=KmerTable.load(os.path.join(tdir, "table.npz")),
+        k=int(struct["k"]),
+        memory_efficient=mem,
+    )
+
+
+def load_l2_db(db_dir: str, cid: int) -> Optional[L2DB]:
+    d = os.path.join(db_dir, "l2", f"C{cid}")
+    if not os.path.isdir(d):
+        return None
+    z = np.load(os.path.join(d, "data.npz"))
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    matrix = sp.csr_matrix(
+        (z["m_data"], z["m_indices"], z["m_indptr"]),
+        shape=tuple(z["m_shape"]))
+    overlap = sp.csr_matrix(
+        (z["o_data"], z["o_indices"], z["o_indptr"]),
+        shape=tuple(z["o_shape"]))
+    return L2DB(
+        cid=cid, kmers=z["kmers"], matrix=matrix, overlap=overlap,
+        strains=list(meta["strains"]),
+        all_strains=list(meta["all_strains"]),
+        recluster={int(i): m for i, m in meta["recluster"].items()},
+        table=KmerTable.load(os.path.join(d, "table.npz")),
+    )

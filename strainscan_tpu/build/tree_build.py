@@ -1,0 +1,438 @@
+"""Cluster Search Tree (CST) construction over packed k-mer arrays.
+
+Array-native redesign of the reference tree builder
+(library/Build_tree.py:239-701).  Same algorithm, different substrate:
+where the reference manipulates Python sets of string-dict indices, every
+k-mer set here is a sorted ``uint64`` array of 2-bit-packed k-mers and the
+set algebra is vectorized merge arithmetic.  The quadratic
+"subtract-every-other-node" pass (Build_tree.py:562-597) is replaced by a
+provably equivalent global duplicate sweep: after the bottom-up
+intersect/remove propagation (Build_tree.py:547-559) no k-mer can appear
+in two sibling or ancestor/descendant ``uniq`` sets, so a k-mer appearing
+in >= 2 ``uniq`` sets must be removed from *all* of them, and membership
+counting over one concatenated sorted array does in O(N log N) what the
+reference does in O(nodes^2).
+
+Stages (with reference anchors):
+  1. single-linkage agglomeration of the initial clusters into a binary
+     tree (``hierarchy``, Build_tree.py:16-90);
+  2. per-leaf k-mer extraction with the alpha=0.8 core threshold splitting
+     core ``Lv`` from rare ``spec`` (Build_tree.py:93-130; occurrence
+     counts include within-genome multiplicity and both orientations);
+  3. weak-leaf re-clustering: a leaf with < ``min_kmer`` distinctive
+     k-mers is merged with its most similar leaf and the tree is rebuilt
+     (Build_tree.py:393-468);
+  4. bottom-up unique-set propagation, global de-duplication, rare-k-mer
+     subtraction, and down-sampling to ``max_kmer`` per node
+     (Build_tree.py:547-597);
+  5. reconstruction of nodes left with < ``min_kmer`` k-mers from leaf
+     ``Lv`` intersections, recording per-leaf overlap positions that
+     drive the Poisson adjustment at search time (Build_tree.py:600-661).
+
+Down-sampling uses a seeded generator, so builds are deterministic —
+unlike the reference's ``random.sample`` (Build_tree.py:339,591).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from strainscan_tpu.config import BuildConfig
+from strainscan_tpu.io import fastx
+from strainscan_tpu.utils.trees import BinTree
+
+
+# --------------------------------------------------------------- set ops
+def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.intersect1d(a, b, assume_unique=True)
+
+
+def _union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.union1d(a, b)
+
+
+def _setdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.setdiff1d(a, b, assume_unique=True)
+
+
+def _isin_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
+    """Membership of each element of sorted-unique ``a`` in sorted ``b``."""
+    if b_sorted.size == 0:
+        return np.zeros(a.shape, dtype=bool)
+    pos = np.searchsorted(b_sorted, a)
+    pos = np.minimum(pos, b_sorted.size - 1)
+    return b_sorted[pos] == a
+
+
+# ------------------------------------------------------------- dataclass
+@dataclasses.dataclass
+class CST:
+    """The built tree index (see identify/cst_search.py for the consumer)."""
+
+    tree: BinTree
+    all_kmers: np.ndarray                      # sorted uint64 — global ids
+    node_kmers: Dict[int, np.ndarray]          # node -> int32 ids (sorted)
+    node_length: Dict[int, int]
+    reconstructed: List[int]
+    # leaf id -> {node id -> positions in the node's k-mer list}
+    overlap_info: Dict[int, Dict[int, np.ndarray]]
+    gcf: Dict[int, str]                        # singleton leaf -> strain
+    recls: Dict[int, List[str]]                # final leaf id -> strains
+    k: int
+
+
+# ------------------------------------------------------ leaf k-mer stats
+def _leaf_kmer_stats(genomes: Sequence[str], k: int, alpha_ratio: float,
+                     use_native: bool = True, mode: str = "both"):
+    """(Lv, spec) for one leaf cluster.
+
+    Occurrence counts accumulate every position of every genome in both
+    orientations (Build_tree.py:99-109); threshold alpha =
+    ``alpha_ratio * n_genomes`` splits core (Lv) from rare (spec)
+    (Build_tree.py:123-128).
+    """
+    parts_k: List[np.ndarray] = []
+    parts_c: List[np.ndarray] = []
+    for g in genomes:
+        km = fastx.genome_kmers(g, k, mode=mode, unique=False,
+                                use_native=use_native)
+        u, c = np.unique(km, return_counts=True)
+        parts_k.append(u)
+        parts_c.append(c.astype(np.int64))
+    allk = np.concatenate(parts_k)
+    allc = np.concatenate(parts_c)
+    order = np.argsort(allk, kind="stable")
+    allk = allk[order]
+    allc = allc[order]
+    uniq, start = np.unique(allk, return_index=True)
+    counts = np.add.reduceat(allc, start) if allk.size else np.empty(0, np.int64)
+    alpha = alpha_ratio * len(genomes)
+    core = counts >= alpha
+    return uniq[core], uniq[~core]
+
+
+# ------------------------------------------------------------- hierarchy
+def _cluster_sim_matrix(member_rows: List[np.ndarray],
+                        sim: np.ndarray) -> np.ndarray:
+    """Cluster-level similarity = max pairwise member similarity
+    (``cal_cls_dist``, Build_tree.py:704-711); self-similarity = -1."""
+    n = len(member_rows)
+    m = np.full((n, n), -1.0)
+    for i in range(n):
+        for j in range(i + 1, n):
+            v = float(np.max(sim[np.ix_(member_rows[i], member_rows[j])]))
+            m[i, j] = m[j, i] = v
+    return m
+
+
+def _hierarchy(leaf_ids: List[int], cls_sim: np.ndarray):
+    """Single-linkage agglomeration (max-similarity merge with row-max
+    update — Build_tree.py:42-67).  Returns (tree, merge order)."""
+    ids = list(leaf_ids)
+    next_id = max(ids) + 1
+    m = cls_sim.copy()
+    rel: Dict[int, Tuple[int, int]] = {}
+    while len(ids) > 1:
+        flat = int(np.argmax(m))
+        r, c = divmod(flat, m.shape[1])
+        a_id, b_id = ids[r], ids[c]
+        rel[next_id] = (a_id, b_id)
+        new_row = np.maximum(m[r], m[c])
+        keep = [x for x in range(len(ids)) if x not in (r, c)]
+        m = m[np.ix_(keep, keep)]
+        new_row = new_row[keep]
+        m = np.pad(m, ((0, 1), (0, 1)), constant_values=-1.0)
+        m[-1, :-1] = new_row
+        m[:-1, -1] = new_row
+        ids = [ids[x] for x in keep] + [next_id]
+        next_id += 1
+    return BinTree.from_relationship(ids[0], rel)
+
+
+# ------------------------------------------------------------------ main
+def build_cst(
+    names: Sequence[str],
+    dist: np.ndarray,
+    recls: Dict[int, List[str]],
+    genome_of: Dict[str, str],
+    cfg: BuildConfig,
+    use_native: bool = True,
+    log=lambda msg: None,
+) -> CST:
+    k = cfg.ksize
+    kmode = "canonical" if cfg.memory_efficient else "both"
+    rng = np.random.default_rng(cfg.seed)
+    name_idx = {n: i for i, n in enumerate(names)}
+    sim = 1.0 - np.asarray(dist)
+    fna: Dict[int, List[str]] = {
+        cid: list(members) for cid, members in recls.items() if members
+    }
+
+    # ------------------------------------------------ degenerate: 1 leaf
+    if len(fna) == 1:
+        cid = next(iter(fna))
+        genomes = [genome_of[s] for s in fna[cid]]
+        # single-cluster path uses alpha_ratio = 1 (Build_tree.py:291)
+        lv, _ = _leaf_kmer_stats(genomes, k, 1.0, use_native, kmode)
+        if lv.size > cfg.max_kmer:
+            lv = np.sort(rng.choice(lv, size=cfg.max_kmer, replace=False))
+        tree = BinTree()
+        tree.add_root(cid)
+        all_kmers = lv
+        node_ids = np.arange(lv.size, dtype=np.int32)
+        gcf = {cid: fna[cid][0]} if len(fna[cid]) == 1 else {}
+        return CST(tree=tree, all_kmers=all_kmers,
+                   node_kmers={cid: node_ids},
+                   node_length={cid: int(lv.size)}, reconstructed=[],
+                   overlap_info={}, gcf=gcf, recls={cid: fna[cid]}, k=k)
+
+    # ------------------------------------------- initial tree + leaf sets
+    def member_rows(cid):
+        return np.array([name_idx[s] for s in fna[cid]])
+
+    leaf_ids = sorted(fna)
+    cls_sim = _cluster_sim_matrix([member_rows(c) for c in leaf_ids], sim)
+    tree = _hierarchy(leaf_ids, cls_sim)
+
+    Lv: Dict[int, np.ndarray] = {}
+    spec: Dict[int, np.ndarray] = {}
+    for cid in leaf_ids:
+        log(f"extracting k-mers for leaf {cid} ({len(fna[cid])} genomes)")
+        Lv[cid], spec[cid] = _leaf_kmer_stats(
+            [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio, use_native,
+            kmode)
+
+    # ------------------------------------------------- weak-leaf merging
+    # distinct k-mers of leaf i = Lv[i] minus every other leaf's Lv|spec
+    # (Build_tree.py:414-424); global-count formulation: a Lv[i] k-mer is
+    # distinct iff it appears in exactly one leaf's Lv|spec universe.
+    recls_happened = False
+    check = list(leaf_ids)
+    # leaf-level similarity matrix maintained under merges
+    lsim = cls_sim.copy()
+    lsim_ids = list(leaf_ids)
+    while True:
+        # distinct k-mers of leaf i = Lv[i] minus Lv|spec of every leaf at
+        # the same or greater depth (get_leaf_union only unions same-depth
+        # siblings and deeper leaves, Build_tree.py:133-155); shallower
+        # leaves are NOT subtracted.
+        ldepth = {l: tree.depth(l) for l in lsim_ids}
+        check_set = set(check)
+        weak = []
+        deeper_u = np.empty(0, dtype=np.uint64)
+        for d in sorted({ldepth[l] for l in lsim_ids}, reverse=True):
+            group = [l for l in lsim_ids if ldepth[l] == d]
+            group_concat = np.concatenate(
+                [Lv[l] for l in group] + [spec[l] for l in group])
+            gu, gc = np.unique(group_concat, return_counts=True)
+            for cid in group:
+                if cid not in check_set:
+                    continue
+                mine = Lv[cid]
+                if mine.size:
+                    cnt = gc[np.searchsorted(gu, mine)]
+                    distinct = int(
+                        ((cnt == 1) & ~_isin_sorted(mine, deeper_u)).sum())
+                else:
+                    distinct = 0
+                log(f"leaf {cid}: {distinct} distinctive k-mers")
+                if distinct < cfg.min_kmer:
+                    weak.append(cid)
+            deeper_u = _union(deeper_u, gu)
+        if not weak:
+            break
+        recls_happened = True
+        new_check = []
+        while weak:
+            a = weak.pop(0)
+            r = lsim_ids.index(a)
+            c = int(np.argmax(lsim[r]))
+            b = lsim_ids[c]
+            new_id = max(max(lsim_ids), max(tree.parent)) + 1
+            log(f"merging weak leaf {a} with {b} -> {new_id}")
+            fna[new_id] = fna.pop(a) + fna.pop(b)
+            for x in (a, b):
+                Lv.pop(x, None)
+                spec.pop(x, None)
+                if x in weak:
+                    weak.remove(x)
+            # single-linkage row-max update (Build_tree.py:449-466)
+            new_row = np.maximum(lsim[r], lsim[c])
+            keep = [x for x in range(len(lsim_ids)) if x not in (r, c)]
+            lsim = lsim[np.ix_(keep, keep)]
+            new_row = new_row[keep]
+            lsim = np.pad(lsim, ((0, 1), (0, 1)), constant_values=-1.0)
+            lsim[-1, :-1] = new_row
+            lsim[:-1, -1] = new_row
+            lsim_ids = [lsim_ids[x] for x in keep] + [new_id]
+            new_check.append(new_id)
+        tree = _hierarchy(lsim_ids, lsim) if len(lsim_ids) > 1 else None
+        if tree is None:
+            # everything merged into one cluster: degenerate rebuild
+            only = lsim_ids[0]
+            single = {only: fna[only]}
+            return build_cst(names, dist, single, genome_of, cfg, use_native,
+                             log)
+        for cid in lsim_ids:
+            if cid not in Lv:
+                Lv[cid], spec[cid] = _leaf_kmer_stats(
+                    [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio,
+                    use_native, kmode)
+        check = new_check
+
+    # ------------------------------------------------------ id remapping
+    # leaves 1..L, internal L+1.. in BFS order (Build_tree.py:471-491);
+    # identity when no re-clustering happened.
+    bfs = tree.nodes_bfs()
+    leaves = set(tree.leaves())
+    if recls_happened:
+        id_map: Dict[int, int] = {}
+        nl = 1
+        ni = len(leaves) + 1
+        for n in bfs:
+            if n in leaves:
+                id_map[n] = nl
+                nl += 1
+            else:
+                id_map[n] = ni
+                ni += 1
+    else:
+        id_map = {n: n for n in bfs}
+    new_tree = BinTree()
+    new_tree.add_root(id_map[tree.root])
+    for n in bfs:
+        if n in tree.children:
+            a, b = tree.children[n]
+            new_tree.children[id_map[n]] = (id_map[a], id_map[b])
+            new_tree.parent[id_map[a]] = id_map[n]
+            new_tree.parent[id_map[b]] = id_map[n]
+    Lv = {id_map[c]: v for c, v in Lv.items()}
+    spec = {id_map[c]: v for c, v in spec.items()}
+    fna = {id_map[c]: v for c, v in fna.items()}
+    tree = new_tree
+    leaves = set(tree.leaves())
+    depth = {n: tree.depth(n) for n in tree.nodes()}
+
+    # --------------------------------------- bottom-up unique propagation
+    bfs = tree.nodes_bfs()
+    uniq: Dict[int, np.ndarray] = {}
+    desc_leaves: Dict[int, List[int]] = {}
+    for n in reversed(bfs):
+        if n in leaves:
+            uniq[n] = Lv[n]
+            desc_leaves[n] = [n]
+        else:
+            a, b = tree.children[n]
+            inter = _intersect(uniq[a], uniq[b])
+            uniq[n] = inter
+            uniq[a] = _setdiff(uniq[a], inter)
+            uniq[b] = _setdiff(uniq[b], inter)
+            desc_leaves[n] = desc_leaves[a] + desc_leaves[b]
+
+    # global duplicate sweep (equivalent of Build_tree.py:562-585; root is
+    # exempt in the reference but can have no duplicates by construction)
+    concat = np.concatenate([uniq[n] for n in bfs])
+    gu, gc = np.unique(concat, return_counts=True)
+    kept: Dict[int, np.ndarray] = {}
+    for n in bfs:
+        mine = uniq[n]
+        if mine.size:
+            cnt = gc[np.searchsorted(gu, mine)]
+            kept[n] = mine[cnt == 1]
+        else:
+            kept[n] = mine
+
+    # rare-k-mer subtraction: drop k from node n when k is in spec[j] of a
+    # leaf outside n's descendant leaves (Build_tree.py:577-585)
+    spec_concat = np.concatenate([spec[l] for l in leaves]) if leaves else \
+        np.empty(0, np.uint64)
+    spec_leaf = np.concatenate(
+        [np.full(spec[l].size, l, dtype=np.int64) for l in leaves]
+    ) if leaves else np.empty(0, np.int64)
+    order = np.argsort(spec_concat, kind="stable")
+    spec_sorted = spec_concat[order]
+    spec_leaf_sorted = spec_leaf[order]
+    max_leaf = max(leaves) if leaves else 0
+
+    def drop_outside_spec(node, kmers):
+        if kmers.size == 0 or spec_sorted.size == 0:
+            return kmers
+        inside = np.zeros(max_leaf + 1, dtype=bool)
+        inside[np.array(desc_leaves[node])] = True
+        start = np.searchsorted(spec_sorted, kmers, side="left")
+        end = np.searchsorted(spec_sorted, kmers, side="right")
+        csum = np.concatenate(
+            [[0], np.cumsum((~inside[spec_leaf_sorted]).astype(np.int64))])
+        out_cnt = csum[end] - csum[start]
+        return kmers[out_cnt == 0]
+
+    overload = len(leaves) > cfg.max_cls_recon
+    rebuilt: List[int] = []
+    node_sets: Dict[int, np.ndarray] = {}
+    for n in reversed(bfs):
+        kmer_t = drop_outside_spec(n, kept[n])
+        if kmer_t.size < cfg.min_kmer and not overload:
+            rebuilt.append(n)
+            continue
+        if kmer_t.size > cfg.max_kmer:
+            kmer_t = np.sort(
+                rng.choice(kmer_t, size=cfg.max_kmer, replace=False))
+        node_sets[n] = kmer_t
+
+    # --------------------------------------------------- reconstruction
+    overlap_info: Dict[int, Dict[int, np.ndarray]] = {}
+    subtree_union: Dict[int, np.ndarray] = {}
+
+    def get_subtree_union(node):
+        if node not in subtree_union:
+            u = np.empty(0, dtype=np.uint64)
+            for l in desc_leaves[node]:
+                u = _union(u, _union(Lv[l], spec[l]))
+            subtree_union[node] = u
+        return subtree_union[node]
+
+    for n in rebuilt:
+        log(f"reconstructing node {n}")
+        dls = desc_leaves[n]
+        kmer_t = Lv[dls[0]]
+        for l in dls[1:]:
+            if kmer_t.size == 0:
+                break
+            kmer_t = _intersect(kmer_t, Lv[l])
+        # subtract same-depth other nodes' subtree unions (get_diff,
+        # Build_tree.py:191-225)
+        for m in bfs:
+            if m != n and depth[m] == depth[n] and kmer_t.size:
+                kmer_t = _setdiff(kmer_t, get_subtree_union(m))
+        lower = [l for l in leaves if depth[l] < depth[n]]
+        if kmer_t.size > cfg.max_kmer:
+            cnt = np.zeros(kmer_t.size, dtype=np.int32)
+            for l in lower:
+                cnt += _isin_sorted(kmer_t, Lv[l])
+            order2 = np.lexsort((kmer_t, cnt))
+            kmer_t = np.sort(kmer_t[order2[: cfg.max_kmer]])
+        node_sets[n] = kmer_t
+        for l in lower:
+            member = _isin_sorted(kmer_t, Lv[l])
+            if member.any():
+                overlap_info.setdefault(l, {})[n] = np.where(member)[0].astype(
+                    np.int32)
+
+    # --------------------------------------------------------- assemble
+    nonempty = [node_sets[n] for n in bfs
+                if node_sets.get(n) is not None and node_sets[n].size]
+    all_kmers = (np.unique(np.concatenate(nonempty)) if nonempty
+                 else np.empty(0, dtype=np.uint64))
+    node_kmers = {
+        n: np.searchsorted(all_kmers, node_sets[n]).astype(np.int32)
+        for n in bfs
+    }
+    node_length = {n: int(node_sets[n].size) for n in bfs}
+    gcf = {l: fna[l][0] for l in leaves if len(fna[l]) == 1}
+    recls_out = {l: fna[l] for l in sorted(leaves)}
+    return CST(tree=tree, all_kmers=all_kmers, node_kmers=node_kmers,
+               node_length=node_length, reconstructed=sorted(rebuilt),
+               overlap_info=overlap_info, gcf=gcf, recls=recls_out, k=k)

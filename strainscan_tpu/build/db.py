@@ -148,6 +148,7 @@ def save_db(
             "memory_efficient": memory_efficient,
             "n_strains": len(names),
             "n_clusters": len(cst.recls),
+            "cluster_ids": sorted(cst.recls),
             "n_tree_kmers": int(cst.all_kmers.size),
         }, f, indent=1)
 

@@ -1,0 +1,207 @@
+"""Layer-2 strain detection: iterative Pre-Scan + positive Elastic-Net.
+
+Faithful port of library/identify_strains_L2_Enet_Pscan_new_sp.py:177-478
+over dense NumPy matrices (the k-mer × strain matrix is the CSR built at
+DB time, densified for the mat-vec loop like the reference's ``X.A``):
+
+* cross-cluster masking: counts of k-mers shared with other detected
+  clusters are zeroed via the overlap matrix (``py_u``, :191-205);
+* per-strain coverage gate (cov > 0.7 outside plasmid/extra modes,
+  :247-261), ``l2=2`` fallback when max coverage < 0.01 (:262-264);
+* dominant strain: argmax of X^T·(5-95% clipped y) (optimize_dominat_y,
+  :136-175) or max coverage when l2 == 2 (:277-282);
+* dominant depth: IQR-trimmed mean of its covered k-mer counts
+  (get_avg_depth, :110-120);
+* iterative Pre-Scan (<= 15 rounds): mask used k-mers
+  (npXt = 2*used + X^T; npXt[npXt>1] = 0, :320-321), candidate = strain
+  with most remaining covered k-mers (get_candidate_arr, :121-134), accept
+  when covered >= msn*k and stale remain-coverage > 0.2 (:350-371 —
+  ``strain_remainc`` is computed once before the loop, and ``used_kmer``
+  grows even when the remainc gate rejects the candidate, both
+  reproduced);
+* Elastic-Net over the selected columns with outlier-filtered rows
+  (v <= 1000*median kept, :402-414) and the CV/mpm machinery in
+  strainscan_tpu/ops/enet.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from strainscan_tpu.config import IdentifyConfig
+from strainscan_tpu.ops import enet
+
+
+def _stat_cov(col: np.ndarray, y: np.ndarray) -> Tuple[float, int, int]:
+    """stat_cov (:33-43): coverage counting products > 1 as covered."""
+    total = int(np.count_nonzero(col))
+    ic = col * y
+    valid = int(np.count_nonzero(ic > 1))
+    cov = valid / total if total else 0.0
+    return cov, valid, total
+
+
+def _cal_cov_all(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """cal_cov_all (:44-49) vectorized: per-strain coverage."""
+    totals = (X != 0).sum(axis=0)
+    valid = ((X * y[:, None]) > 1).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov = np.where(totals > 0, valid / np.maximum(totals, 1), 0.0)
+    return cov
+
+
+def _optimize_dominant(X: np.ndarray, y: np.ndarray) -> int:
+    """optimize_dominat_y (:136-175)."""
+    s = X.shape[1]
+    res = np.zeros(s)
+    for c in range(s):
+        da = X[:, c] * y
+        da_noz = da[da != 0]
+        if da_noz.size < 1 or np.sum(da_noz) == 0:
+            res[c] = 0.0
+            continue
+        f25 = np.percentile(da_noz, 5, method="nearest")
+        f75 = np.percentile(da_noz, 95, method="nearest")
+        tem = y.copy().astype(np.float64)
+        tem[tem < f25] = 0
+        tem[tem > f75] = 0
+        res[c] = float(X[:, c] @ tem)
+    return int(np.where(res == res.max())[0][0])
+
+
+def _avg_depth(dominant: int, X: np.ndarray, y: np.ndarray) -> float:
+    """get_avg_depth (:110-120): IQR-trimmed mean of covered counts."""
+    doarr = X[:, dominant] * y
+    doarr = np.where(doarr == 1, 0, doarr)
+    noz = doarr[doarr != 0]
+    if noz.size == 0:
+        return 0.0
+    f25 = np.percentile(noz, 25, method="nearest")
+    f75 = np.percentile(noz, 75, method="nearest")
+    noz = noz.astype(np.float64)
+    noz[noz < f25] = 0
+    noz[noz > f75] = 0
+    final = noz[noz != 0]
+    return float(np.mean(final)) if final.size else 0.0
+
+
+def _candidate(npXt: np.ndarray, y: np.ndarray) -> Tuple[int, int]:
+    """get_candidate_arr (:121-134): most remaining covered k-mers."""
+    prod = npXt * y[None, :]
+    checks = (prod > 1).sum(axis=1)
+    cand = int(np.argmax(checks))
+    return cand, int(checks[cand])
+
+
+def detect_strains(
+    X: np.ndarray,
+    py: np.ndarray,
+    sid: List[str],
+    ksize: int,
+    npp25: float,
+    npp75: float,
+    npp_out: float,
+    cls_cov: float,
+    om_selected: np.ndarray,
+    l2: int,
+    msn: int,
+    pmode: int,
+    emode: int,
+    cfg: IdentifyConfig = IdentifyConfig(),
+):
+    """detect_strains (:177-478).
+
+    Args mirror the reference: X is the dense k-mer × strain matrix, py the
+    per-k-mer counts (1-counts already zeroed), om_selected the overlap
+    matrix restricted to the detected clusters' columns.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ln = om_selected.sum(axis=1).astype(np.float64)
+    ln[ln > 1] = 0
+    py_u = py * ln
+
+    cutoff = msn * ksize
+    pXt = X.T
+    cov_arr = _cal_cov_all(X, py)
+    dominant_avg_depth = 0.0
+    default_cov = 0.0 if (pmode == 1 or emode == 1) else cfg.prescan_default_cov
+    if np.max(cov_arr) > default_cov:
+        gate = (cov_arr > default_cov).astype(np.float64)
+        pXt_tem = pXt * gate[:, None]
+    else:
+        pXt_tem = pXt
+        if np.max(cov_arr) < 0.01:
+            l2 = 2
+
+    if l2 == 2:
+        dominant = int(np.where(cov_arr == cov_arr.max())[0][0])
+        dominant_avg_depth = _avg_depth(
+            dominant, X, py_u if py_u.sum() > 0 else py)
+    else:
+        yy = py_u if py_u.sum() > 0 else py
+        dominant = _optimize_dominant(X, yy)
+        dominant_avg_depth = _avg_depth(dominant, X, yy)
+
+    out_columns = [dominant]
+    out_strains = [sid[dominant]]
+    strain_cov: Dict[str, Tuple[float, int, int]] = {}
+    strain_val: Dict[str, int] = {}
+    final_src: Dict[str, float] = {}
+    strain_cov[sid[dominant]] = _stat_cov(X[:, dominant], py)
+    strain_val[sid[dominant]] = strain_cov[sid[dominant]][1]
+    final_src[sid[dominant]] = strain_cov[sid[dominant]][0]
+
+    # stale remain-coverage, computed once (get_remainc, :94-108 at :316)
+    used = pXt[dominant].copy()
+    npXt0 = 2 * used + pXt_tem
+    npXt0 = np.where(npXt0 > 1, 0, npXt0)
+    strain_remainc = np.zeros(X.shape[1])
+    for i in range(X.shape[1]):
+        if i == dominant:
+            strain_remainc[i] = strain_cov[sid[dominant]][0]
+            continue
+        all_k = npXt0[i].sum()
+        check = np.count_nonzero((npXt0[i] * py_u) > 1)
+        strain_remainc[i] = check / all_k if all_k else 0.0
+
+    remainc_cutoff = 0.0 if emode == 1 else cfg.prescan_remainc
+    check_c = cfg.emode_check_c if emode == 1 else cutoff
+    for _ in range(cfg.prescan_max_iter):
+        npXt = 2 * used + pXt_tem
+        npXt = np.where(npXt > 1, 0, npXt)
+        yy = py_u if py_u.sum() > 0 else py
+        cand, check = _candidate(npXt, yy)
+        if check >= check_c:
+            if strain_remainc[cand] > remainc_cutoff:
+                out_columns.append(cand)
+                out_strains.append(sid[cand])
+                strain_cov[sid[cand]] = _stat_cov(X[:, cand], py)
+                strain_val[sid[cand]] = check
+                final_src[sid[cand]] = strain_remainc[cand]
+            used = used + pXt[cand]
+            used = np.where(used > 1, 1, used)
+        else:
+            break
+
+    if len(out_columns) == 1:
+        res = {out_strains[0]: 1}
+        res2 = {out_strains[0]: dominant_avg_depth}
+        return res, res2, strain_cov, strain_val, final_src
+
+    # -------------------- Elastic-Net over selected columns (:399-456)
+    oX = X[:, out_columns]
+    keep = ~((py < npp25) | (py > npp75) | (py > npp_out))
+    Xf = oX[keep]
+    yf = py[keep]
+    result = enet.enet_cv_fit(Xf, yf, cfg)
+    coef = np.atleast_1d(result.coef)
+    if coef.sum() != 0:
+        norm = coef / coef.sum()
+        res = dict(zip(out_strains, norm.tolist()))
+        res2 = dict(zip(out_strains, coef.tolist()))
+    else:
+        res, res2 = {}, {}
+    return res, res2, strain_cov, strain_val, final_src

@@ -1,0 +1,168 @@
+"""Positive Elastic-Net with cross-validated alpha path.
+
+Replaces sklearn's ``ElasticNetCV``/``ElasticNet`` as used by the reference
+(identify_strains_L2_Enet_Pscan_new_sp.py:433-456): same objective
+
+    (1/(2n)) ||y - Xw||^2 + alpha*l1_ratio*||w||_1
+                          + (alpha*(1-l1_ratio)/2)*||w||^2,
+
+no intercept, positivity constraint, cyclic coordinate descent, the same
+alpha grid (eps=1e-3, 50 alphas from alpha_max = max|X^T y|/(n*l1_ratio)),
+ShuffleSplit(n_splits=20, test_size=0.5, random_state=0) folds, and the
+reference's one-SE "mpm" alpha rule (lasso_mpm, :14-31).
+
+TPU split: the O(n s^2) fold Gram matrices ``X^T W X`` and moments
+``X^T W y`` are computed as batched matmuls on the device (MXU); the tiny
+O(s) coordinate-descent cycles run on the host over the Grams.  This keeps
+the data-sized work on the accelerator without paying dispatch latency for
+scalar loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from strainscan_tpu.config import IdentifyConfig
+
+
+def shuffle_split_masks(n: int, n_splits: int, test_size: float,
+                        seed: int) -> np.ndarray:
+    """Boolean test-row masks [n_splits, n] identical to sklearn's
+    ShuffleSplit(random_state=seed) fold structure."""
+    rng = np.random.RandomState(seed)
+    n_test = int(np.ceil(test_size * n))
+    masks = np.zeros((n_splits, n), dtype=bool)
+    for i in range(n_splits):
+        perm = rng.permutation(n)
+        masks[i, perm[:n_test]] = True
+    return masks
+
+
+def alpha_grid(X: np.ndarray, y: np.ndarray, l1_ratio: float, eps: float,
+               n_alphas: int) -> np.ndarray:
+    """sklearn _alpha_grid: descending logspace from alpha_max."""
+    n = X.shape[0]
+    alpha_max = np.abs(X.T @ y).max() / (n * l1_ratio)
+    if alpha_max <= np.finfo(float).resolution:
+        alpha_max = np.finfo(float).resolution
+    return np.logspace(np.log10(alpha_max * eps), np.log10(alpha_max),
+                       num=n_alphas)[::-1]
+
+
+def _cd_gram(gram: np.ndarray, moment: np.ndarray, n: int, alpha: float,
+             l1_ratio: float, w0: np.ndarray, max_iter: int, tol: float,
+             positive: bool) -> np.ndarray:
+    """Cyclic coordinate descent on the Gram formulation.
+
+    Minimizes 0.5 w^T G w - b^T w + n*alpha*l1r*||w||_1
+    + (n*alpha*(1-l1r)/2)||w||^2 where G = X^T X, b = X^T y over the
+    (possibly masked) rows — equivalent to the sklearn objective times n.
+    """
+    s = gram.shape[0]
+    l1 = n * alpha * l1_ratio
+    l2 = n * alpha * (1.0 - l1_ratio)
+    w = w0.copy()
+    q = gram @ w
+    diag = np.diag(gram)
+    for _ in range(max_iter):
+        w_max = 0.0
+        d_w_max = 0.0
+        for j in range(s):
+            if diag[j] + l2 == 0.0:
+                continue
+            rho = moment[j] - q[j] + diag[j] * w[j]
+            if positive:
+                new = max(rho - l1, 0.0) / (diag[j] + l2)
+            else:
+                new = (np.sign(rho) * max(abs(rho) - l1, 0.0)
+                       / (diag[j] + l2))
+            delta = new - w[j]
+            if delta != 0.0:
+                q += gram[:, j] * delta
+                w[j] = new
+            d_w_max = max(d_w_max, abs(delta))
+            w_max = max(w_max, abs(new))
+        if w_max == 0.0 or d_w_max / max(w_max, 1e-300) < tol:
+            break
+    return w
+
+
+def _fold_grams(X: np.ndarray, y: np.ndarray, train: np.ndarray):
+    """Batched per-fold Grams/moments; device matmuls when JAX is usable."""
+    try:
+        import jax.numpy as jnp
+
+        Xd = jnp.asarray(X, dtype=jnp.float32)
+        yd = jnp.asarray(y, dtype=jnp.float32)
+        td = jnp.asarray(train, dtype=jnp.float32)  # [F, n]
+        Xw = Xd[None, :, :] * td[:, :, None]        # [F, n, s]
+        grams = jnp.einsum("fns,nt->fst", Xw, Xd)
+        moments = jnp.einsum("fns,n->fs", Xw, yd)
+        return np.asarray(grams, dtype=np.float64), np.asarray(
+            moments, dtype=np.float64)
+    except Exception:
+        t = train.astype(np.float64)
+        Xw = X[None, :, :] * t[:, :, None]
+        grams = np.einsum("fns,nt->fst", Xw, X)
+        moments = np.einsum("fns,n->fs", Xw, y)
+        return grams, moments
+
+
+def lasso_mpm(alphas: np.ndarray, mse_path: np.ndarray) -> float:
+    """One-SE 'mpm' alpha rule (identify_strains...sp.py:14-31): the
+    sparsest alpha whose mean CV MSE is within one std of the minimum."""
+    mse_mean = mse_path.mean(axis=1)
+    mse_std = mse_path.std(axis=1)
+    i_min = int(np.argmin(mse_mean))
+    lo = mse_mean[i_min] - mse_std[i_min]
+    hi = mse_mean[i_min] + mse_std[i_min]
+    i_mpm = i_min
+    for i in range(i_min - 1, -1, -1):
+        if lo <= mse_mean[i] <= hi:
+            i_mpm = i
+    return float(alphas[i_mpm])
+
+
+@dataclasses.dataclass
+class EnetResult:
+    coef: np.ndarray
+    alpha: float
+    alphas: np.ndarray
+    mse_path: np.ndarray
+
+
+def enet_cv_fit(X: np.ndarray, y: np.ndarray,
+                cfg: IdentifyConfig = IdentifyConfig()) -> EnetResult:
+    """ElasticNetCV + mpm rule + final ElasticNet fit (reference
+    identify_strains...sp.py:431-456)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, s = X.shape
+    l1r = cfg.enet_l1_ratio
+    alphas = alpha_grid(X, y, l1r, cfg.enet_eps, cfg.enet_nalpha)
+    test_masks = shuffle_split_masks(n, cfg.enet_cv_niter,
+                                     cfg.enet_test_size, cfg.enet_seed)
+    train_masks = ~test_masks
+    grams, moments = _fold_grams(X, y, train_masks)
+    n_train = train_masks.sum(axis=1)
+    mse_path = np.zeros((alphas.size, test_masks.shape[0]))
+    for f in range(test_masks.shape[0]):
+        w = np.zeros(s)
+        Xt = X[test_masks[f]]
+        yt = y[test_masks[f]]
+        for ai, alpha in enumerate(alphas):
+            w = _cd_gram(grams[f], moments[f], int(n_train[f]), float(alpha),
+                         l1r, w, cfg.enet_max_iter, cfg.enet_tol,
+                         positive=True)
+            resid = yt - Xt @ w
+            mse_path[ai, f] = float(np.mean(resid ** 2))
+    alpha_mpm = lasso_mpm(alphas, mse_path)
+    gram = X.T @ X
+    moment = X.T @ y
+    coef = _cd_gram(gram, moment, n, alpha_mpm, l1r, np.zeros(s),
+                    cfg.enet_max_iter, cfg.enet_tol, positive=True)
+    return EnetResult(coef=coef, alpha=alpha_mpm, alphas=alphas,
+                      mse_path=mse_path)

@@ -1,0 +1,169 @@
+"""Benchmark: restricted k-mer counting throughput (reads/s) vs the
+reference's jellyfish pipeline.
+
+Measures the identification hot path end-to-end (FASTQ parse -> 2-bit
+pack -> hash-table match -> per-k-mer counts) on the default JAX device,
+against the reference pipeline (jellyfish count --if kmer.fa + dump -c +
+Python dict parse, library/identify.py:73-103) run with the bundled
+binary on the same inputs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GENOME_LEN = 1_000_000
+N_READS = 200_000
+READ_LEN = 150
+K = 31
+JELLYFISH = "/root/reference/library/jellyfish-linux"
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def synthesize(tmp):
+    rng = np.random.default_rng(0)
+    from strainscan_tpu.kmer import pack
+
+    genome_codes = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+    genome = pack.decode_seq(genome_codes)
+    km, _ = pack.pack_kmers(genome_codes, K)
+    db = np.unique(np.concatenate([km, pack.revcomp_packed(km, K)]))
+    fq = os.path.join(tmp, "bench.fq")
+    comp = str.maketrans("ACGT", "TGCA")
+    with open(fq, "w") as f:
+        starts = rng.integers(0, GENOME_LEN - READ_LEN, size=N_READS)
+        flips = rng.random(N_READS) < 0.5
+        qual = "I" * READ_LEN
+        for i in range(N_READS):
+            r = genome[starts[i]: starts[i] + READ_LEN]
+            if flips[i]:
+                r = r.translate(comp)[::-1]
+            f.write(f"@r{i}\n{r}\n+\n{qual}\n")
+    return db, fq
+
+
+def bench_ours(db, fq):
+    from strainscan_tpu.index.hashtable import KmerTable
+    from strainscan_tpu.io import fastx
+    from strainscan_tpu.ops.count import CountPipeline
+
+    table = KmerTable.build(db, k=K)
+    log(f"table built: {table.n_keys} keys, max_probe={table.max_probe}")
+    # warm-up: upload the table once and compile the one batch shape
+    pipe = CountPipeline(table)
+    first = next(iter(fastx.read_batches(fq, batch=32768,
+                                         maxlen=READ_LEN + 6, k=K)))
+    pipe.add_batch(first)
+    log("compiled; warming finish")
+    pipe.finish()
+    pipe.reset()
+    log("timed run")
+    t0 = time.time()
+    n_reads = 0
+    for batch in fastx.read_batches(fq, batch=32768, maxlen=READ_LEN + 6,
+                                    k=K):
+        n_reads += batch.shape[0]
+        pipe.add_batch(batch)
+    counts = pipe.finish()
+    dt = time.time() - t0
+    assert counts.sum() > 0
+    return n_reads / dt, counts, table
+
+
+def bench_jellyfish(db, fq, tmp):
+    from strainscan_tpu.kmer import pack
+
+    jf = os.path.join(tmp, "jf")
+    if not os.path.exists(jf):
+        shutil.copy(JELLYFISH, jf)
+        os.chmod(jf, 0o755)
+    kfa = os.path.join(tmp, "kmer.fa")
+    with open(kfa, "w") as f:
+        for i, x in enumerate(db):
+            f.write(f">{i}\n{pack.decode_kmer(int(x), K)}\n")
+    t0 = time.time()
+    out_jf = os.path.join(tmp, "out.jf")
+    out_fa = os.path.join(tmp, "out.fa")
+    subprocess.run([jf, "count", "-m", str(K), "-s", "100M", "-t", "8",
+                    "--if", kfa, "-o", out_jf, fq], check=True)
+    with open(out_fa, "w") as f:
+        subprocess.run([jf, "dump", "-c", out_jf], check=True, stdout=f)
+    # reference parse: kmer string -> index dict, then dump parse
+    # (identify.py:90-102)
+    kmer_index = {}
+    with open(kfa) as f:
+        lines = f.readlines()
+    for i in range(len(lines) // 2):
+        kmer_index[lines[i * 2 + 1].rstrip().upper()] = i
+    match_results = {}
+    with open(out_fa) as f:
+        for line in f:
+            s, c = line.rstrip().split(" ")
+            match_results[kmer_index[s]] = int(c)
+    dt = time.time() - t0
+    counts = np.zeros(db.size, dtype=np.int64)
+    for i, c in match_results.items():
+        counts[i] = c
+    return N_READS / dt, counts
+
+
+def _warm_d2h():
+    """First device->host fetch can stall for minutes on tunneled TPU
+    setups; pay it in the background while data synthesizes."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.ones((8,), jnp.int32))
+    except Exception:
+        pass
+
+
+def main():
+    import threading
+
+    warm = threading.Thread(target=_warm_d2h, daemon=True)
+    warm.start()
+    tmp = tempfile.mkdtemp(prefix="sst_bench_")
+    try:
+        log("synthesizing data")
+        db, fq = synthesize(tmp)
+        log("waiting for d2h channel warm-up")
+        warm.join(timeout=600)
+        log("running TPU pipeline")
+        ours_rps, ours_counts, _ = bench_ours(db, fq)
+        log(f"ours: {ours_rps:.0f} reads/s; running jellyfish baseline")
+        if os.path.exists(JELLYFISH):
+            base_rps, base_counts = bench_jellyfish(db, fq, tmp)
+            if not np.array_equal(ours_counts, base_counts):
+                diff = int((ours_counts != base_counts).sum())
+                print(f"WARNING: counts differ from jellyfish at {diff} "
+                      f"positions", file=sys.stderr)
+            vs = ours_rps / base_rps
+        else:
+            vs = float("nan")
+        print(json.dumps({
+            "metric": "kmer_match_reads_per_s",
+            "value": round(ours_rps, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(vs, 2),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ arrays of length ``n_buckets * BUCKET``:
 
 Collisions fall through to the next bucket (bucket-level linear probing);
 ``max_probe`` is recorded at build time so queries unroll a static probe
-loop (usually 1).  Load factor defaults to 0.5.
+loop (usually 1-2).  Load factor defaults to 0.25 — probe count matters far
+more than memory on TPU.
 
 The mixing function is a murmur3-style 32-bit finalizer over both halves;
 queries and the host builder share it bit-for-bit.
@@ -80,7 +81,7 @@ class KmerTable:
     # ------------------------------------------------------------- build
     @classmethod
     def build(cls, keys_u64: np.ndarray, k: int, values: np.ndarray | None = None,
-              load_factor: float = 0.5) -> "KmerTable":
+              load_factor: float = 0.25) -> "KmerTable":
         """Build from unique packed k-mers (uint64). ``values[i]`` defaults to i."""
         keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
         n = int(keys_u64.shape[0])
@@ -95,6 +96,28 @@ class KmerTable:
         key_hi = np.full(cap, _EMPTY32, dtype=np.uint32)
         key_lo = np.full(cap, _EMPTY32, dtype=np.uint32)
         val = np.full(cap, -1, dtype=np.int32)
+
+        # native sequential builder (strainscan_tpu/native/fastx.c
+        # table_build) — ~100M keys/s; NumPy cascade below is the fallback
+        from strainscan_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None and n > 0:
+            import ctypes
+
+            keys_c = np.ascontiguousarray(keys_u64)
+            vals_c = np.ascontiguousarray(values)
+            mp = lib.table_build(
+                keys_c.ctypes.data_as(ctypes.c_void_p),
+                vals_c.ctypes.data_as(ctypes.c_void_p),
+                n, n_buckets,
+                key_hi.ctypes.data_as(ctypes.c_void_p),
+                key_lo.ctypes.data_as(ctypes.c_void_p),
+                val.ctypes.data_as(ctypes.c_void_p))
+            if mp < 0:
+                raise RuntimeError("hash table build failed (table full)")
+            return cls(key_hi=key_hi, key_lo=key_lo, val=val,
+                       n_buckets=n_buckets, max_probe=int(mp), n_keys=n, k=k)
 
         hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
         lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -127,7 +150,7 @@ class KmerTable:
                 key_hi[pos] = hi[placed]
                 key_lo[pos] = lo[placed]
                 val[pos] = values[placed]
-            np.subtract.at(free, uniq, np.minimum(counts, free[uniq]))
+            free[uniq] -= np.minimum(counts, free[uniq])
             pending = p_sorted[~fits]
             if pending.size:
                 cur_bucket[pending] = (cur_bucket[pending] + 1) % n_buckets
@@ -159,15 +182,32 @@ class KmerTable:
             out = np.where(out < 0, found, out)
         return out
 
+    def interleaved(self) -> np.ndarray:
+        """[n_buckets, BUCKET*3] int32 (hi, lo, val interleaved per slot).
+
+        The device-side layout: one bucket probe is ONE row gather of
+        ``3*BUCKET`` contiguous int32s.  On TPU this is ~30x faster than
+        three separate 8-wide gathers — XLA gather cost scales with row
+        count, not row width."""
+        inter = np.empty((self.n_buckets, BUCKET * 3), dtype=np.int32)
+        inter[:, 0::3] = self.key_hi.view(np.int32).reshape(
+            self.n_buckets, BUCKET)
+        inter[:, 1::3] = self.key_lo.view(np.int32).reshape(
+            self.n_buckets, BUCKET)
+        inter[:, 2::3] = self.val.reshape(self.n_buckets, BUCKET)
+        return inter
+
     def device_arrays(self):
-        """(key_hi, key_lo, val) as jnp arrays for the jit query path."""
+        """The interleaved table as a jnp array (cached: tens of MB,
+        uploaded once, not per pipeline construction)."""
+        cached = getattr(self, "_device_cache", None)
+        if cached is not None:
+            return cached
         import jax.numpy as jnp
 
-        return (
-            jnp.asarray(self.key_hi),
-            jnp.asarray(self.key_lo),
-            jnp.asarray(self.val),
-        )
+        out = jnp.asarray(self.interleaved())
+        object.__setattr__(self, "_device_cache", out)
+        return out
 
     # --------------------------------------------------------------- io
     def save(self, path: str) -> None:
@@ -188,11 +228,11 @@ class KmerTable:
                    n_buckets=n_buckets, max_probe=max_probe, n_keys=n_keys, k=k)
 
 
-def lookup_device(key_hi, key_lo, val, n_buckets: int, max_probe: int, hi, lo):
-    """Jit-friendly device lookup.
+def lookup_device(table, n_buckets: int, max_probe: int, hi, lo):
+    """Jit-friendly device lookup over the interleaved table.
 
     Args:
-      key_hi/key_lo/val: table arrays (jnp, flat ``n_buckets*BUCKET``).
+      table: jnp int32 [n_buckets, BUCKET*3] (``KmerTable.interleaved``).
       n_buckets, max_probe: static ints.
       hi, lo: query arrays (any shape, uint32).
 
@@ -204,14 +244,13 @@ def lookup_device(key_hi, key_lo, val, n_buckets: int, max_probe: int, hi, lo):
     hi = hi.reshape(-1)
     lo = lo.reshape(-1)
     bucket = (mix_jnp(hi, lo) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    lane = jnp.arange(BUCKET, dtype=jnp.int32)
     out = jnp.full(hi.shape, -1, dtype=jnp.int32)
     for p in range(max_probe):
-        base = ((bucket + p) & jnp.int32(n_buckets - 1)) * BUCKET
-        idx = base[:, None] + lane[None, :]
-        thi = key_hi.at[idx].get(mode="promise_in_bounds")
-        tlo = key_lo.at[idx].get(mode="promise_in_bounds")
-        tval = val.at[idx].get(mode="promise_in_bounds")
+        rows = table.at[(bucket + p) & jnp.int32(n_buckets - 1)].get(
+            mode="promise_in_bounds")          # [Q, BUCKET*3], one gather
+        thi = rows[:, 0::3].astype(jnp.uint32)
+        tlo = rows[:, 1::3].astype(jnp.uint32)
+        tval = rows[:, 2::3]
         hit = (thi == hi[:, None]) & (tlo == lo[:, None]) & (tval >= 0)
         found = jnp.max(jnp.where(hit, tval, -1), axis=1)
         out = jnp.where(out < 0, found, out)

@@ -62,6 +62,19 @@ def extract_kmers(codes: jax.Array, k: int):
     return hi, lo, valid
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def unpack_codes(words: jax.Array, vbytes: jax.Array, length: int):
+    """Inverse of pack.bitpack_codes on device: uint32 words + validity
+    bytes -> uint32 codes [B, length] (0..3, 4 = invalid).  Pure VPU
+    shifts, no gathers."""
+    b, w = words.shape
+    parts = [((words >> (2 * j)) & _u32(3)) for j in range(16)]
+    codes = jnp.stack(parts, axis=-1).reshape(b, w * 16)[:, :length]
+    vparts = [((vbytes >> j) & jnp.uint8(1)) for j in range(8)]
+    valid = jnp.stack(vparts, axis=-1).reshape(b, -1)[:, :length]
+    return jnp.where(valid > 0, codes, _u32(4))
+
+
 def _rev2(x):
     """Reverse the sixteen 2-bit groups of a uint32 lane."""
     m2 = _u32(0x33333333)

@@ -115,6 +115,31 @@ def join_u32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
 
 
+def bitpack_codes(codes: np.ndarray):
+    """Pack encoded reads for transfer: 2 bits/base + 1 validity bit.
+
+    ``codes`` [B, L] uint8 (0..3 bases, >=4 invalid/pad) becomes
+    ``(words, vbytes)``: ``words`` uint32 [B, ceil(L/16)] with base p in
+    bits [2*(p%16), 2*(p%16)+1] of word p//16, and ``vbytes`` uint8
+    [B, ceil(L/8)] with validity bit p%8 of byte p//8.  Cuts host->device
+    transfer ~3.5x — the dominant cost on PCIe-attached and tunneled TPUs.
+    """
+    b, length = codes.shape
+    w = -(-length // 16)
+    vb = -(-length // 8)
+    cp = np.zeros((b, w * 16), dtype=np.uint32)
+    cp[:, :length] = np.where(codes < 4, codes, 0).astype(np.uint32)
+    words = np.zeros((b, w), dtype=np.uint32)
+    for j in range(16):
+        words |= cp[:, j::16] << np.uint32(2 * j)
+    vp = np.zeros((b, vb * 8), dtype=np.uint8)
+    vp[:, :length] = (codes < 4).astype(np.uint8)
+    vbytes = np.zeros((b, vb), dtype=np.uint8)
+    for j in range(8):
+        vbytes |= vp[:, j::8] << np.uint8(j)
+    return words, vbytes
+
+
 def seq_kmer_set(
     seqs,
     k: int,

@@ -76,5 +76,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
         lib.fastx_free_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        lib.table_build.restype = ctypes.c_int
+        lib.table_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         _LIB = lib
         return _LIB

@@ -287,3 +287,53 @@ long long fastx_kmers(const char *path, int k, int mode, uint64_t **out) {
 }
 
 void fastx_free_u64(uint64_t *p) { free(p); }
+
+/* ---------------- bucketed hash table construction ---------------- */
+
+static uint32_t fmix32(uint32_t h) {
+    h ^= h >> 16;
+    h *= 0x85EBCA6Bu;
+    h ^= h >> 13;
+    h *= 0xC2B2AE35u;
+    h ^= h >> 16;
+    return h;
+}
+
+/* Must match strainscan_tpu.index.hashtable.mix_np bit-for-bit. */
+static uint32_t mix_hash(uint32_t hi, uint32_t lo) {
+    uint32_t h = fmix32(hi ^ 0x9E3779B9u);
+    return fmix32(h ^ lo);
+}
+
+#define TBL_BUCKET 8
+
+/* Insert n packed keys into a bucketed open-addressing table of
+ * n_buckets * 8 slots (caller-allocated, pre-filled: keys 0xFFFFFFFF,
+ * val -1).  val[i] = i (the key's index).  Returns the max bucket-probe
+ * count (>=1) or -1 when the table is full. */
+int table_build(const uint64_t *keys, const int32_t *values, long long n,
+                long long n_buckets, uint32_t *key_hi, uint32_t *key_lo,
+                int32_t *val) {
+    long long mask = n_buckets - 1;
+    int max_probe = 1;
+    for (long long i = 0; i < n; i++) {
+        uint32_t hi = (uint32_t)(keys[i] >> 32);
+        uint32_t lo = (uint32_t)(keys[i] & 0xFFFFFFFFu);
+        long long b = (long long)(mix_hash(hi, lo)) & mask;
+        for (long long p = 0; p < n_buckets; p++) {
+            long long base = ((b + p) & mask) * TBL_BUCKET;
+            for (int s = 0; s < TBL_BUCKET; s++) {
+                if (val[base + s] < 0) {
+                    key_hi[base + s] = hi;
+                    key_lo[base + s] = lo;
+                    val[base + s] = values[i];
+                    if ((int)(p + 1) > max_probe) max_probe = (int)(p + 1);
+                    goto placed;
+                }
+            }
+        }
+        return -1;
+    placed:;
+    }
+    return max_probe;
+}

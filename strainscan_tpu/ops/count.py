@@ -28,29 +28,12 @@ from strainscan_tpu.index.hashtable import KmerTable, lookup_device
 from strainscan_tpu.kmer import device as kdev
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "n_buckets", "max_probe", "n_kmers", "canonical"),
-    donate_argnames=("counts",),
-)
-def count_batch(
-    counts: jax.Array,
-    codes: jax.Array,
-    key_hi: jax.Array,
-    key_lo: jax.Array,
-    val: jax.Array,
-    *,
-    k: int,
-    n_buckets: int,
-    max_probe: int,
-    n_kmers: int,
-    canonical: bool,
-) -> jax.Array:
-    """Accumulate one read batch into ``counts`` (donated, int32 [n_kmers])."""
+def _count_core(counts, codes, table, k, n_buckets, max_probe,
+                n_kmers, canonical):
     hi, lo, valid = kdev.extract_kmers(codes, k)
     if canonical:
         hi, lo = kdev.canonical(hi, lo, k)
-    ids = lookup_device(key_hi, key_lo, val, n_buckets, max_probe, hi, lo)
+    ids = lookup_device(table, n_buckets, max_probe, hi, lo)
     ids = jnp.where(valid, ids, -1).reshape(-1)
     # scatter-add; misses land in a trash slot that is sliced away
     safe = jnp.where(ids >= 0, ids, n_kmers)
@@ -60,13 +43,62 @@ def count_batch(
     return padded[:n_kmers]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_buckets", "max_probe", "n_kmers", "canonical"),
+    donate_argnames=("counts",),
+)
+def count_batch(
+    counts: jax.Array,
+    codes: jax.Array,
+    table: jax.Array,
+    *,
+    k: int,
+    n_buckets: int,
+    max_probe: int,
+    n_kmers: int,
+    canonical: bool,
+) -> jax.Array:
+    """Accumulate one read batch into ``counts`` (donated, int32 [n_kmers])."""
+    return _count_core(counts, codes, table, k, n_buckets,
+                       max_probe, n_kmers, canonical)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("length", "k", "n_buckets", "max_probe", "n_kmers",
+                     "canonical"),
+    donate_argnames=("counts",),
+)
+def count_batch_packed(
+    counts: jax.Array,
+    words: jax.Array,
+    vbytes: jax.Array,
+    table: jax.Array,
+    *,
+    length: int,
+    k: int,
+    n_buckets: int,
+    max_probe: int,
+    n_kmers: int,
+    canonical: bool,
+) -> jax.Array:
+    """Packed-transfer variant: reads arrive as 2-bit words + validity
+    bits (pack.bitpack_codes) and are unpacked on device."""
+    codes = kdev.unpack_codes(words, vbytes, length)
+    return _count_core(counts, codes, table, k, n_buckets,
+                       max_probe, n_kmers, canonical)
+
+
 class CountPipeline:
     """Streaming counter over read batches against one DB k-mer table."""
 
-    def __init__(self, table: KmerTable, canonical: bool = False):
+    def __init__(self, table: KmerTable, canonical: bool = False,
+                 packed_transfer: bool = False):
         self.table = table
         self.canonical = canonical
-        self.key_hi, self.key_lo, self.val = table.device_arrays()
+        self.packed_transfer = packed_transfer
+        self.dev_table = table.device_arrays()
         self.counts = jnp.zeros((table.n_keys,), dtype=jnp.int32)
         self._shape: Optional[tuple] = None
 
@@ -90,18 +122,39 @@ class CountPipeline:
         if codes.shape[0] < rows:
             pad = np.full((rows - codes.shape[0], cols), 4, dtype=np.uint8)
             codes = np.concatenate([np.asarray(codes), pad], axis=0)
-        self.counts = count_batch(
-            self.counts,
-            jnp.asarray(codes),
-            self.key_hi,
-            self.key_lo,
-            self.val,
-            k=self.table.k,
-            n_buckets=self.table.n_buckets,
-            max_probe=self.table.max_probe,
-            n_kmers=self.table.n_keys,
-            canonical=self.canonical,
-        )
+        if self.packed_transfer:
+            from strainscan_tpu.kmer import pack
+
+            words, vbytes = pack.bitpack_codes(np.asarray(codes))
+            self.counts = count_batch_packed(
+                self.counts,
+                jnp.asarray(words),
+                jnp.asarray(vbytes),
+                self.dev_table,
+                length=cols,
+                k=self.table.k,
+                n_buckets=self.table.n_buckets,
+                max_probe=self.table.max_probe,
+                n_kmers=self.table.n_keys,
+                canonical=self.canonical,
+            )
+        else:
+            self.counts = count_batch(
+                self.counts,
+                jnp.asarray(codes),
+                self.dev_table,
+                k=self.table.k,
+                n_buckets=self.table.n_buckets,
+                max_probe=self.table.max_probe,
+                n_kmers=self.table.n_keys,
+                canonical=self.canonical,
+            )
+
+    def reset(self) -> None:
+        """Zero the accumulator without re-uploading the table."""
+        import jax.numpy as jnp
+
+        self.counts = jnp.zeros((self.table.n_keys,), dtype=jnp.int32)
 
     def finish(self) -> np.ndarray:
         """int32 [n_keys] hit counts aligned with the table's id space."""

@@ -1,0 +1,6 @@
+from strainscan_tpu.parallel.sharded import (  # noqa: F401
+    ShardedTable,
+    make_mesh,
+    sharded_count,
+    sharded_l2_stats,
+)

@@ -46,7 +46,7 @@ def test_device_lookup_matches_host():
     import jax.numpy as jnp
 
     got = np.asarray(
-        lookup_device(*t.device_arrays(), t.n_buckets, t.max_probe,
+        lookup_device(t.device_arrays(), t.n_buckets, t.max_probe,
                       jnp.asarray(hi), jnp.asarray(lo))
     )
     assert np.array_equal(got, t.lookup_host(probe))

@@ -1,0 +1,125 @@
+"""Mode coverage: -b probability report, memory-efficient DB, low-dep
+ladders, custom clusters."""
+
+import os
+
+import numpy as np
+import pytest
+
+from strainscan_tpu.build.pipeline import build_database
+from strainscan_tpu.config import BuildConfig, IdentifyConfig
+from strainscan_tpu.identify.pipeline import run_identify
+
+RNG = np.random.default_rng(31)
+BASES = np.array(list("ACGT"))
+GLEN = 60_000
+
+
+def _rand_genome(n):
+    return "".join(RNG.choice(BASES, size=n))
+
+
+def _mutate(seq, n_snps):
+    s = np.array(list(seq))
+    for p in RNG.choice(len(s), size=n_snps, replace=False):
+        s[p] = RNG.choice([b for b in BASES if b != s[p]])
+    return "".join(s)
+
+
+def _revcomp(s):
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def _sim_reads(seq, depth, read_len=100):
+    reads = []
+    for _ in range(int(len(seq) * depth / read_len)):
+        s = int(RNG.integers(0, len(seq) - read_len))
+        r = seq[s : s + read_len]
+        if RNG.random() < 0.5:
+            r = _revcomp(r)
+        reads.append(r)
+    return reads
+
+
+def _write_fq(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("modes")
+    gdir = d / "genomes"
+    gdir.mkdir()
+    base = _rand_genome(GLEN)
+    strains = {
+        "X1": base,
+        "X2": _mutate(base, 40),
+        "Y1": _rand_genome(GLEN),
+    }
+    for n, s in strains.items():
+        with open(gdir / f"{n}.fa", "w") as f:
+            f.write(f">{n}\n{s}\n")
+    return str(d), str(gdir), strains
+
+
+def test_memory_efficient_db(setup):
+    d, gdir, strains = setup
+    db_dir = os.path.join(d, "DB_mem")
+    build_database(gdir, db_dir, BuildConfig(memory_efficient=True))
+    assert os.path.exists(os.path.join(db_dir, "Memory_DB"))
+    fq = os.path.join(d, "y1.fq")
+    _write_fq(fq, _sim_reads(strains["Y1"], 6))
+    out = os.path.join(d, "out_mem")
+    res = run_identify(fq, "", db_dir, out)
+    assert res is not None
+    assert next(iter(res.values()))["strain"] == "Y1"
+    # canonical DB: coverage ~1-e^-3.5 (both orientations merge)
+    assert next(iter(res.values()))["cls_cov"] > 0.9
+
+
+def test_strain_prob_report(setup):
+    d, gdir, strains = setup
+    db_dir = os.path.join(d, "DB_std")
+    build_database(gdir, db_dir, BuildConfig())
+    fq = os.path.join(d, "x1_low.fq")
+    _write_fq(fq, _sim_reads(strains["X1"], 0.5))
+    out = os.path.join(d, "out_prob")
+    cfg = IdentifyConfig(strain_prob=True, low_dep=2)
+    run_identify(fq, "", db_dir, out, cfg)
+    prob_file = os.path.join(out, "strain_prob.txt")
+    assert os.path.exists(prob_file)
+    with open(prob_file) as f:
+        header = f.readline().split("\t")
+        rows = [line.split("\t") for line in f if line.strip()]
+    assert header[0] == "Cluster_ID"
+    assert rows, "no clusters ranked"
+    # the X cluster (containing X1) must rank first
+    top = rows[0]
+    assert "X1" in top[-1]
+
+
+def test_low_depth_ladder(setup):
+    d, gdir, strains = setup
+    db_dir = os.path.join(d, "DB_std")
+    fq = os.path.join(d, "y1_low.fq")
+    _write_fq(fq, _sim_reads(strains["Y1"], 1.0))
+    out = os.path.join(d, "out_ldep")
+    res = run_identify(fq, "", db_dir, out, IdentifyConfig(low_dep=1))
+    assert res is not None
+    assert next(iter(res.values()))["strain"] == "Y1"
+
+
+def test_custom_cluster_file(setup, tmp_path):
+    d, gdir, strains = setup
+    cls_file = tmp_path / "custom.txt"
+    with open(cls_file, "w") as f:
+        f.write("1\t2\tX1,X2\n2\t1\tY1\n")
+    db_dir = os.path.join(d, "DB_custom")
+    build_database(gdir, db_dir, BuildConfig(),
+                   custom_cls_file=str(cls_file))
+    import json
+    man = json.load(open(os.path.join(db_dir, "manifest.json")))
+    assert man["n_clusters"] == 2

@@ -42,34 +42,29 @@ from strainscan_tpu.utils.trees import BinTree
 FORMAT_VERSION = 1
 
 
-def save_db(
-    out_dir: str,
-    cst: CST,
-    l2: Dict[int, L2Cluster],
-    names: List[str],
-    dist: np.ndarray,
-    cls95: Dict[int, List[str]],
-    moved,
-    memory_efficient: bool = False,
-) -> None:
-    os.makedirs(out_dir, exist_ok=True)
+def save_cluster_stage(out_dir: str, names: List[str], dist: np.ndarray,
+                       cls95: Dict[int, List[str]], moved) -> None:
     cdir = os.path.join(out_dir, "cluster")
-    tdir = os.path.join(out_dir, "tree")
     os.makedirs(cdir, exist_ok=True)
-    os.makedirs(tdir, exist_ok=True)
-
     np.savez_compressed(os.path.join(cdir, "distance.npz"),
                         names=np.array(names), dist=dist)
     from strainscan_tpu.build.cluster import write_cls_map
 
     write_cls_map(os.path.join(cdir, "hclsMap_95.txt"), cls95)
-    write_cls_map(os.path.join(cdir, "hclsMap_95_recls.txt"), cst.recls)
     with open(os.path.join(cdir, "Other_Strain_CN.txt"), "w") as f:
         for row in moved:
             s, old, od, new, nd = row
             f.write(f"{s}\t{old},{od}\t{new},{nd}\n")
 
-    # tree structure
+
+def save_tree_stage(out_dir: str, cst: CST) -> None:
+    cdir = os.path.join(out_dir, "cluster")
+    tdir = os.path.join(out_dir, "tree")
+    os.makedirs(cdir, exist_ok=True)
+    os.makedirs(tdir, exist_ok=True)
+    from strainscan_tpu.build.cluster import write_cls_map
+
+    write_cls_map(os.path.join(cdir, "hclsMap_95_recls.txt"), cst.recls)
     struct = {
         "root": cst.tree.root,
         "children": {str(n): list(c) for n, c in cst.tree.children.items()},
@@ -117,27 +112,31 @@ def save_db(
                    else np.empty(0, dtype=np.int32)),
     )
 
-    for cid, cl in l2.items():
-        d = os.path.join(out_dir, "l2", f"C{cid}")
-        os.makedirs(d, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(d, "data.npz"),
-            kmers=cl.kmers,
-            m_data=cl.matrix.data, m_indices=cl.matrix.indices,
-            m_indptr=cl.matrix.indptr,
-            m_shape=np.array(cl.matrix.shape),
-            o_data=cl.overlap.data, o_indices=cl.overlap.indices,
-            o_indptr=cl.overlap.indptr,
-            o_shape=np.array(cl.overlap.shape),
-        )
-        KmerTable.build(cl.kmers, k=cst.k).save(os.path.join(d, "table.npz"))
-        with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump({
-                "strains": cl.strains,
-                "all_strains": cl.all_strains,
-                "recluster": {str(i): m for i, m in cl.recluster.items()},
-            }, f)
 
+def save_l2_cluster(out_dir: str, cl: L2Cluster, k: int) -> None:
+    d = os.path.join(out_dir, "l2", f"C{cl.cid}")
+    os.makedirs(d, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(d, "data.npz"),
+        kmers=cl.kmers,
+        m_data=cl.matrix.data, m_indices=cl.matrix.indices,
+        m_indptr=cl.matrix.indptr,
+        m_shape=np.array(cl.matrix.shape),
+        o_data=cl.overlap.data, o_indices=cl.overlap.indices,
+        o_indptr=cl.overlap.indptr,
+        o_shape=np.array(cl.overlap.shape),
+    )
+    KmerTable.build(cl.kmers, k=k).save(os.path.join(d, "table.npz"))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({
+            "strains": cl.strains,
+            "all_strains": cl.all_strains,
+            "recluster": {str(i): m for i, m in cl.recluster.items()},
+        }, f)
+
+
+def finalize_manifest(out_dir: str, cst: CST, n_strains: int,
+                      memory_efficient: bool) -> None:
     if memory_efficient:
         open(os.path.join(out_dir, "Memory_DB"), "w").close()
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -146,11 +145,29 @@ def save_db(
             "builder_version": __version__,
             "k": cst.k,
             "memory_efficient": memory_efficient,
-            "n_strains": len(names),
+            "n_strains": n_strains,
             "n_clusters": len(cst.recls),
             "cluster_ids": sorted(cst.recls),
             "n_tree_kmers": int(cst.all_kmers.size),
         }, f, indent=1)
+
+
+def save_db(
+    out_dir: str,
+    cst: CST,
+    l2: Dict[int, L2Cluster],
+    names: List[str],
+    dist: np.ndarray,
+    cls95: Dict[int, List[str]],
+    moved,
+    memory_efficient: bool = False,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    save_cluster_stage(out_dir, names, dist, cls95, moved)
+    save_tree_stage(out_dir, cst)
+    for cl in l2.values():
+        save_l2_cluster(out_dir, cl, cst.k)
+    finalize_manifest(out_dir, cst, len(names), memory_efficient)
 
 
 @dataclasses.dataclass

@@ -49,6 +49,8 @@ def _add_build(sub):
                    help="exact Jaccard distances instead of minhash")
     p.add_argument("--sketch-size", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="skip build stages whose artifacts already exist")
 
 
 def _add_identify(sub):
@@ -103,8 +105,13 @@ def main(argv=None) -> int:
             min_kmer=args.mink, max_kmer=args.maxk, max_cls_recon=args.maxn,
             sketch_size=args.sketch_size, exact_distance=args.exact_dist,
             seed=args.seed)
+        if args.mas:
+            print("note: -m/--strainest_sample MSA mode is subsumed by "
+                  "presence-pattern k-mer selection (all SNV-bearing "
+                  "shared-subset k-mers are already included)")
         build_database(args.input_fa, args.out_dir, cfg,
-                       custom_cls_file=args.cls_custom_file or None)
+                       custom_cls_file=args.cls_custom_file or None,
+                       resume=args.resume)
         return 0
 
     if args.cmd == "identify":

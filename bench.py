@@ -38,20 +38,24 @@ def synthesize(tmp):
     from strainscan_tpu.kmer import pack
 
     genome_codes = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
-    genome = pack.decode_seq(genome_codes)
     km, _ = pack.pack_kmers(genome_codes, K)
     db = np.unique(np.concatenate([km, pack.revcomp_packed(km, K)]))
     fq = os.path.join(tmp, "bench.fq")
-    comp = str.maketrans("ACGT", "TGCA")
-    with open(fq, "w") as f:
-        starts = rng.integers(0, GENOME_LEN - READ_LEN, size=N_READS)
-        flips = rng.random(N_READS) < 0.5
-        qual = "I" * READ_LEN
+    # vectorized read synthesis: gather windows, revcomp half, map to ASCII
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, size=N_READS)
+    idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+    reads = genome_codes[idx]                              # [N, L] codes
+    flips = rng.random(N_READS) < 0.5
+    reads[flips] = (3 - reads[flips])[:, ::-1]             # revcomp
+    ascii_map = np.frombuffer(b"ACGT", dtype=np.uint8)
+    lines = ascii_map[reads]                               # [N, L] ASCII
+    qual = "I" * READ_LEN
+    with open(fq, "wb") as f:
+        seqs = lines.tobytes()
         for i in range(N_READS):
-            r = genome[starts[i]: starts[i] + READ_LEN]
-            if flips[i]:
-                r = r.translate(comp)[::-1]
-            f.write(f"@r{i}\n{r}\n+\n{qual}\n")
+            f.write(b"@r%d\n" % i)
+            f.write(seqs[i * READ_LEN:(i + 1) * READ_LEN])
+            f.write(b"\n+\n%s\n" % qual.encode())
     return db, fq
 
 
@@ -121,28 +125,30 @@ def bench_jellyfish(db, fq, tmp):
 
 
 def _warm_d2h():
-    """First device->host fetch can stall for minutes on tunneled TPU
-    setups; pay it in the background while data synthesizes."""
+    """The FIRST device->host fetch on tunneled TPU setups takes minutes
+    (measured ~215s); every later fetch is instant.  Pay it serially,
+    outside the timed region (background threads have shown deadlocks
+    with the tunnel's backend init)."""
     try:
+        import time as _t
+
         import jax
         import jax.numpy as jnp
 
+        t0 = _t.time()
         jax.device_get(jnp.ones((8,), jnp.int32))
-    except Exception:
-        pass
+        log(f"d2h channel warm took {_t.time() - t0:.0f}s")
+    except Exception as e:
+        log(f"d2h warm failed: {e}")
 
 
 def main():
-    import threading
-
-    warm = threading.Thread(target=_warm_d2h, daemon=True)
-    warm.start()
     tmp = tempfile.mkdtemp(prefix="sst_bench_")
     try:
         log("synthesizing data")
         db, fq = synthesize(tmp)
-        log("waiting for d2h channel warm-up")
-        warm.join(timeout=600)
+        log("warming d2h channel (first fetch is slow on tunnels)")
+        _warm_d2h()
         log("running TPU pipeline")
         ours_rps, ours_counts, _ = bench_ours(db, fq)
         log(f"ours: {ours_rps:.0f} reads/s; running jellyfish baseline")

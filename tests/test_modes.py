@@ -123,3 +123,49 @@ def test_custom_cluster_file(setup, tmp_path):
     import json
     man = json.load(open(os.path.join(db_dir, "manifest.json")))
     assert man["n_clusters"] == 2
+
+
+def test_plasmid_mode_extract_and_rebuild(setup):
+    """-p 1: detected singleton clusters' short contigs (<100 kb) become a
+    plasmid reference set, a fresh DB is built over them, and the sample is
+    re-identified against it (StrainScan.py:225-266)."""
+    d, gdir, strains = setup
+    db_dir = os.path.join(d, "DB_std")
+    if not os.path.exists(db_dir):
+        build_database(gdir, db_dir, BuildConfig())
+    # reads from the multi-strain X cluster: L1 leaves strain==0 there,
+    # which is the trigger for plasmid-reference extraction
+    fq = os.path.join(d, "x1_plas.fq")
+    _write_fq(fq, _sim_reads(strains["X1"], 6))
+    out = os.path.join(d, "out_plasmid")
+    cfg = IdentifyConfig(plasmid_mode=1)
+    res = run_identify(fq, "", db_dir, out, cfg, rgenome=gdir)
+    assert res is not None
+    # the 60 kb test contigs all fall under the 100 kb plasmid threshold
+    plas_list = os.path.join(out, "possible_plasmids.txt")
+    assert os.path.exists(plas_list)
+    listed = open(plas_list).read()
+    assert "X1" in listed and "X2" in listed
+    assert os.path.exists(os.path.join(out, "DB_plasmid", "manifest.json"))
+    assert os.path.exists(os.path.join(out, "final_report.txt"))
+    report = open(os.path.join(out, "final_report.txt")).read()
+    assert "X1" in report
+
+
+def test_resume_skips_completed_stages(setup, tmp_path, caplog):
+    """build --resume: finished stages are reused, missing ones rebuilt."""
+    import logging
+
+    d, gdir, strains = setup
+    db_dir = str(tmp_path / "DB_resume")
+    build_database(gdir, db_dir, BuildConfig())
+    # wipe one L2 cluster; resume must rebuild only it and reuse the rest
+    import shutil
+
+    l2 = os.path.join(db_dir, "l2")
+    victims = os.listdir(l2)
+    shutil.rmtree(os.path.join(l2, victims[0]))
+    with caplog.at_level(logging.INFO, logger="strainscan_tpu.build"):
+        build_database(gdir, db_dir, BuildConfig(), resume=True)
+    assert any("resume: reusing" in r.message for r in caplog.records)
+    assert os.path.exists(os.path.join(l2, victims[0], "data.npz"))

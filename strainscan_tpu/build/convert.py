@@ -1,0 +1,369 @@
+"""Bidirectional converter between the reference StrainScan DB layout and
+the StrainScan-TPU layout.
+
+Reference layout (written by library/Build_tree.py:494-698,
+Build_kmer_sets_unique_region_lasso_test_allinone_sp.py:335-419,
+Recls_withR_new.py:94-115, Build_overlap_matrix_sp.py:78-101):
+
+    <DB>/Tree_database/
+        tree_structure.txt        id \\t parent|N \\t "a b"|N [\\t strain]
+        hclsMap_95_recls.txt      leaf \\t n \\t s1,s2,...
+        node_length.txt           id \\t length
+        reconstructed_nodes.txt   id per line
+        kmer.fa                   ">1\\n<kmer>" per entry; index = order
+        kmers/<id>                space-separated indices into kmer.fa
+        overlapping_info/<leaf>   pairs of lines: node id, then positions
+        overlapping_info/<leaf>_supple   "node cursor" pairs (derived)
+    <DB>/Kmer_Sets_L2/Kmer_Sets/C<cid>/
+        all_kmer.fasta            ">i\\n<kmer>" rows of the matrix
+        all_strains_re.npz        scipy CSR k-mer x strain 0/1
+        id2strain_re.pkl          list: column -> strain name
+        all_kid.pkl               dict: kmer string -> row index
+        overlap_matrix.npz        scipy CSR k-mer x cluster 0/1
+        Re_Cluster_info.txt       cid \\t rep \\t n_kmers \\t n \\t members
+    <DB>/Cluster_Result/         distance matrix + cluster maps
+    <DB>/Memory_DB                marker: canonical-only DB
+
+Import preserves the reference's k-mer id order (kmer.fa order) so the
+per-node files and overlapping_info positions remain valid verbatim; only
+the storage container changes (text -> packed uint64 arrays + hash table).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+from typing import Dict, List
+
+import numpy as np
+import scipy.sparse as sp
+
+from strainscan_tpu.build.cluster import read_cls_map, write_cls_map
+from strainscan_tpu.index.hashtable import KmerTable
+from strainscan_tpu.kmer import pack
+
+log = logging.getLogger("strainscan_tpu.convert")
+
+FORMAT_VERSION = 1
+
+
+def _pack_kmer_strings(strings: List[str], k: int) -> np.ndarray:
+    """Pack a list of k-mer strings into uint64, preserving order."""
+    if not strings:
+        return np.empty(0, dtype=np.uint64)
+    joined = "".join(strings)
+    codes = pack.encode_seq(joined).reshape(len(strings), k)
+    out = np.zeros(len(strings), dtype=np.uint64)
+    for j in range(k):
+        out = (out << np.uint64(2)) | codes[:, j].astype(np.uint64)
+    return out
+
+
+def _read_fa_kmers(path: str, k: int) -> np.ndarray:
+    strings = []
+    with open(path) as f:
+        for line in f:
+            if not line.startswith(">"):
+                s = line.strip().upper()
+                if s:
+                    if len(s) != k:
+                        raise ValueError(
+                            f"{path}: k-mer of length {len(s)}, expected {k}")
+                    strings.append(s)
+    return _pack_kmer_strings(strings, k)
+
+
+def import_reference_db(ref_dir: str, out_dir: str, k: int = 31) -> None:
+    """Convert a reference-built StrainScan DB into the TPU-native layout."""
+    tdir_in = os.path.join(ref_dir, "Tree_database")
+    tdir = os.path.join(out_dir, "tree")
+    cdir = os.path.join(out_dir, "cluster")
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(cdir, exist_ok=True)
+
+    # ---- tree structure (tree_structure.txt, Build_tree.py:494-514)
+    parent: Dict[int, int] = {}
+    children: Dict[int, tuple] = {}
+    gcf: Dict[int, str] = {}
+    root = None
+    with open(os.path.join(tdir_in, "tree_structure.txt")) as f:
+        for line in f:
+            ele = line.rstrip("\n").split("\t")
+            if not ele or not ele[0]:
+                continue
+            nid = int(ele[0])
+            if ele[1] == "N":
+                root = nid
+            else:
+                parent[nid] = int(ele[1])
+            if ele[2] != "N":
+                a, b = ele[2].split(" ")
+                children[nid] = (int(a), int(b))
+            if len(ele) > 3 and ele[3]:
+                gcf[nid] = ele[3]
+    if root is None:
+        raise ValueError("tree_structure.txt has no root line")
+
+    recls = read_cls_map(os.path.join(tdir_in, "hclsMap_95_recls.txt"))
+
+    node_length: Dict[int, int] = {}
+    with open(os.path.join(tdir_in, "node_length.txt")) as f:
+        for line in f:
+            ele = line.split()
+            if len(ele) == 2:
+                node_length[int(ele[0])] = int(ele[1])
+
+    reconstructed: List[int] = []
+    rpath = os.path.join(tdir_in, "reconstructed_nodes.txt")
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            reconstructed = [int(x) for x in f.read().split()]
+
+    # ---- k-mers: keep kmer.fa order as the global id space
+    all_kmers = _read_fa_kmers(os.path.join(tdir_in, "kmer.fa"), k)
+    log.info("imported %d tree k-mers", all_kmers.size)
+
+    node_ids, offsets, indices = [], [0], []
+    kdir = os.path.join(tdir_in, "kmers")
+    for name in sorted(os.listdir(kdir), key=int):
+        with open(os.path.join(kdir, name)) as f:
+            txt = f.read().split()
+        ids = np.array([int(x) for x in txt], dtype=np.int32)
+        node_ids.append(int(name))
+        indices.append(ids)
+        offsets.append(offsets[-1] + ids.size)
+
+    # ---- overlapping_info/<leaf> (Build_tree.py:649-661): alternating
+    # node-id line and positions line ("_supple" cursor files are derived)
+    ov_leaf, ov_node, ov_offsets, ov_pos = [], [], [0], []
+    odir = os.path.join(tdir_in, "overlapping_info")
+    if os.path.isdir(odir):
+        for name in sorted(os.listdir(odir)):
+            if name.endswith("_supple"):
+                continue
+            with open(os.path.join(odir, name)) as f:
+                lines = [l.strip() for l in f if l.strip()]
+            for i in range(0, len(lines) - 1, 2):
+                node = int(lines[i])
+                positions = np.array([int(x) for x in lines[i + 1].split()],
+                                     dtype=np.int32)
+                ov_leaf.append(int(name))
+                ov_node.append(node)
+                ov_pos.append(positions)
+                ov_offsets.append(ov_offsets[-1] + positions.size)
+
+    # ---- write our tree stage
+    write_cls_map(os.path.join(cdir, "hclsMap_95_recls.txt"), recls)
+    struct = {
+        "root": root,
+        "children": {str(n): list(c) for n, c in children.items()},
+        "gcf": {str(n): s for n, s in gcf.items()},
+        "node_length": {str(n): l for n, l in node_length.items()},
+        "reconstructed": reconstructed,
+        "recls": {str(c): m for c, m in recls.items()},
+        "k": k,
+    }
+    with open(os.path.join(tdir, "structure.json"), "w") as f:
+        json.dump(struct, f)
+    np.savez_compressed(
+        os.path.join(tdir, "kmers.npz"),
+        all_kmers=all_kmers,
+        node_ids=np.array(node_ids, dtype=np.int32),
+        offsets=np.array(offsets, dtype=np.int64),
+        indices=(np.concatenate(indices).astype(np.int32) if indices
+                 else np.empty(0, dtype=np.int32)),
+    )
+    # table values = kmer.fa order, the id space node files use
+    KmerTable.build(all_kmers, k=k,
+                    values=np.arange(all_kmers.size, dtype=np.int32)).save(
+        os.path.join(tdir, "table.npz"))
+    np.savez_compressed(
+        os.path.join(tdir, "overlap.npz"),
+        leaf=np.array(ov_leaf, dtype=np.int32),
+        node=np.array(ov_node, dtype=np.int32),
+        offsets=np.array(ov_offsets, dtype=np.int64),
+        positions=(np.concatenate(ov_pos).astype(np.int32) if ov_pos
+                   else np.empty(0, dtype=np.int32)),
+    )
+
+    # ---- L2 clusters
+    l2_in = os.path.join(ref_dir, "Kmer_Sets_L2", "Kmer_Sets")
+    n_l2 = 0
+    if os.path.isdir(l2_in):
+        for cname in sorted(os.listdir(l2_in)):
+            if not cname.startswith("C"):
+                continue
+            cid = int(cname[1:])
+            src = os.path.join(l2_in, cname)
+            _import_l2_cluster(src, out_dir, cid, k,
+                               recls.get(cid, []))
+            n_l2 += 1
+    log.info("imported %d L2 clusters", n_l2)
+
+    # ---- cluster stage (optional in reference checkouts)
+    cr = os.path.join(ref_dir, "Cluster_Result")
+    if os.path.isdir(cr):
+        for fn in ("hclsMap_95.txt", "Other_Strain_CN.txt"):
+            p = os.path.join(cr, fn)
+            if os.path.exists(p):
+                with open(p) as fi, open(os.path.join(cdir, fn), "w") as fo:
+                    fo.write(fi.read())
+
+    if os.path.exists(os.path.join(ref_dir, "Memory_DB")):
+        open(os.path.join(out_dir, "Memory_DB"), "w").close()
+
+    from strainscan_tpu import __version__
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "format_version": FORMAT_VERSION,
+            "builder_version": __version__,
+            "converted_from": os.path.abspath(ref_dir),
+            "k": k,
+            "memory_efficient": os.path.exists(
+                os.path.join(ref_dir, "Memory_DB")),
+            "n_strains": sum(len(m) for m in recls.values()),
+            "n_clusters": len(recls),
+            "cluster_ids": sorted(recls),
+            "n_tree_kmers": int(all_kmers.size),
+        }, f, indent=1)
+
+
+def _import_l2_cluster(src: str, out_dir: str, cid: int, k: int,
+                       all_strains: List[str]) -> None:
+    with open(os.path.join(src, "all_kid.pkl"), "rb") as f:
+        kid: Dict[str, int] = pickle.load(f)
+    # rows of all_strains_re.npz follow all_kid's row indices
+    n_rows = max(kid.values()) + 1 if kid else 0
+    strings = [""] * n_rows
+    for s, i in kid.items():
+        strings[i] = s.upper()
+    kmers = _pack_kmer_strings(strings, k)
+    matrix = sp.csr_matrix(sp.load_npz(os.path.join(src,
+                                                    "all_strains_re.npz")))
+    with open(os.path.join(src, "id2strain_re.pkl"), "rb") as f:
+        strains: List[str] = list(pickle.load(f))
+    opath = os.path.join(src, "overlap_matrix.npz")
+    overlap = (sp.csr_matrix(sp.load_npz(opath)) if os.path.exists(opath)
+               else sp.csr_matrix((n_rows, 0), dtype=np.int8))
+    recluster: Dict[int, List[str]] = {}
+    rc = os.path.join(src, "Re_Cluster_info.txt")
+    if os.path.exists(rc):
+        with open(rc) as f:
+            for line in f:
+                ele = line.rstrip("\n").split("\t")
+                if len(ele) >= 5:
+                    recluster[int(ele[0])] = ele[4].split(",")
+
+    d = os.path.join(out_dir, "l2", f"C{cid}")
+    os.makedirs(d, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(d, "data.npz"),
+        kmers=kmers,
+        m_data=matrix.data, m_indices=matrix.indices,
+        m_indptr=matrix.indptr, m_shape=np.array(matrix.shape),
+        o_data=overlap.data, o_indices=overlap.indices,
+        o_indptr=overlap.indptr, o_shape=np.array(overlap.shape),
+    )
+    KmerTable.build(kmers, k=k,
+                    values=np.arange(kmers.size, dtype=np.int32)).save(
+        os.path.join(d, "table.npz"))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({
+            "strains": strains,
+            "all_strains": all_strains or strains,
+            "recluster": {str(i): m for i, m in recluster.items()},
+        }, f)
+
+
+# --------------------------------------------------------------- export
+def export_reference_db(db_dir: str, out_dir: str) -> None:
+    """Write a TPU-native DB back out in the reference's file layout."""
+    from strainscan_tpu.build.db import load_l2_db, load_manifest, load_tree_db
+
+    man = load_manifest(db_dir)
+    k = int(man["k"])
+    db = load_tree_db(db_dir)
+    tdir = os.path.join(out_dir, "Tree_database")
+    os.makedirs(os.path.join(tdir, "kmers"), exist_ok=True)
+    os.makedirs(os.path.join(tdir, "overlapping_info"), exist_ok=True)
+
+    order = sorted(set(db.node_length) | set(db.node_kmers))
+    with open(os.path.join(tdir, "tree_structure.txt"), "w") as f:
+        for nid in order:
+            f.write(f"{nid}\t")
+            f.write("N\t" if nid == db.tree.root
+                    else f"{db.tree.parent[nid]}\t")
+            if nid in db.tree.children:
+                a, b = db.tree.children[nid]
+                f.write(f"{a} {b}\t")
+            else:
+                f.write("N\t")
+            if nid in db.gcf:
+                f.write(db.gcf[nid])
+            f.write("\n")
+    write_cls_map(os.path.join(tdir, "hclsMap_95_recls.txt"), db.recls)
+    with open(os.path.join(tdir, "node_length.txt"), "w") as f:
+        for nid in order:
+            f.write(f"{nid}\t{db.node_length.get(nid, 0)}\n")
+    with open(os.path.join(tdir, "reconstructed_nodes.txt"), "w") as f:
+        for nid in db.reconstructed:
+            f.write(f"{nid}\n")
+    with open(os.path.join(tdir, "kmer.fa"), "w") as f:
+        for x in db.all_kmers:
+            f.write(f">1\n{pack.decode_kmer(int(x), k)}\n")
+    for nid, ids in db.node_kmers.items():
+        with open(os.path.join(tdir, "kmers", str(nid)), "w") as f:
+            f.write("".join(f"{int(i)} " for i in ids))
+    for leaf, per_node in db.overlap_info.items():
+        with open(os.path.join(tdir, "overlapping_info", str(leaf)),
+                  "w") as f, \
+             open(os.path.join(tdir, "overlapping_info",
+                               f"{leaf}_supple"), "w") as f1:
+            count = -1
+            for node, positions in per_node.items():
+                f.write(f"{node}\n")
+                f.write("".join(f"{int(p)} " for p in positions) + "\n")
+                count += 2
+                f1.write(f"{node} {count}\n")
+
+    l2_out = os.path.join(out_dir, "Kmer_Sets_L2", "Kmer_Sets")
+    for cid in man.get("cluster_ids", []):
+        cl = load_l2_db(db_dir, int(cid))
+        if cl is None:
+            continue
+        d = os.path.join(l2_out, f"C{cid}")
+        os.makedirs(d, exist_ok=True)
+        strings = [pack.decode_kmer(int(x), k) for x in cl.kmers]
+        with open(os.path.join(d, "all_kmer.fasta"), "w") as f:
+            for i, s in enumerate(strings):
+                f.write(f">{i}\n{s}\n")
+        with open(os.path.join(d, "all_kid.pkl"), "wb") as f:
+            pickle.dump({s: i for i, s in enumerate(strings)}, f,
+                        pickle.HIGHEST_PROTOCOL)
+        sp.save_npz(os.path.join(d, "all_strains_re.npz"),
+                    sp.csr_matrix(cl.matrix))
+        with open(os.path.join(d, "id2strain_re.pkl"), "wb") as f:
+            pickle.dump(list(cl.strains), f, pickle.HIGHEST_PROTOCOL)
+        sp.save_npz(os.path.join(d, "overlap_matrix.npz"),
+                    sp.csr_matrix(cl.overlap))
+        with open(os.path.join(d, "Re_Cluster_info.txt"), "w") as f:
+            for scid, members in sorted(cl.recluster.items()):
+                rep = cl.strains[scid] if scid < len(cl.strains) else ""
+                f.write(f"{scid}\t{rep}\t0\t{len(members)}\t"
+                        f"{','.join(members)}\n")
+
+    cdir_in = os.path.join(db_dir, "cluster")
+    cr = os.path.join(out_dir, "Cluster_Result")
+    os.makedirs(cr, exist_ok=True)
+    for fn in ("hclsMap_95.txt", "hclsMap_95_recls.txt",
+               "Other_Strain_CN.txt"):
+        p = os.path.join(cdir_in, fn)
+        if os.path.exists(p):
+            with open(p) as fi, open(os.path.join(cr, fn), "w") as fo:
+                fo.write(fi.read())
+
+    if man.get("memory_efficient"):
+        open(os.path.join(out_dir, "Memory_DB"), "w").close()

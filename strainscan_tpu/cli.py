@@ -73,6 +73,17 @@ def _add_identify(sub):
                    default=40)
 
 
+def _add_convert(sub):
+    p = sub.add_parser(
+        "convert", help="convert between reference and TPU-native DB layouts")
+    p.add_argument("-i", "--input_db", dest="in_db", required=True)
+    p.add_argument("-o", "--output_db", dest="out_db", required=True)
+    p.add_argument("--to-reference", action="store_true",
+                   help="export a TPU-native DB in the reference layout "
+                        "(default: import a reference DB)")
+    p.add_argument("-k", "--kmer_size", dest="ksize", type=int, default=31)
+
+
 def _add_subsample(sub):
     p = sub.add_parser("subsample", help="cluster genomes and pick reps")
     p.add_argument("-i", "--input_fasta", dest="input_fa", required=True)
@@ -92,8 +103,19 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_build(sub)
     _add_identify(sub)
+    _add_convert(sub)
     _add_subsample(sub)
     args = parser.parse_args(argv)
+
+    if args.cmd == "convert":
+        from strainscan_tpu.build import convert
+
+        if args.to_reference:
+            convert.export_reference_db(args.in_db, args.out_db)
+        else:
+            convert.import_reference_db(args.in_db, args.out_db,
+                                        k=args.ksize)
+        return 0
 
     if args.cmd == "build":
         from strainscan_tpu.build.pipeline import build_database

@@ -27,9 +27,24 @@ def count_sample(
     cfg: IdentifyConfig = IdentifyConfig(),
     canonical: bool = False,
     use_native: bool = True,
+    keys: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Stream the sample through the device count pipeline."""
-    pipe = CountPipeline(table, canonical=canonical)
+    """Stream the sample through the device count pipeline.
+
+    With >1 visible device and the DB's key array supplied, the hash table
+    is sharded over the mesh's ``index`` axis and batches stream
+    data-parallel (SURVEY §2.3 TPU-native scale-out); otherwise the fused
+    single-device pipeline runs.  Both return counts in the table's id
+    space.
+    """
+    import jax
+
+    if keys is not None and jax.device_count() > 1:
+        from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+        pipe = ShardedCountPipeline(keys, k=table.k, canonical=canonical)
+    else:
+        pipe = CountPipeline(table, canonical=canonical)
     for batch in fastx.read_batches(
         fq_paths, batch=cfg.read_batch, maxlen=cfg.max_read_len,
         k=table.k, use_native=use_native,

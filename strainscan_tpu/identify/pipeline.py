@@ -89,7 +89,7 @@ def run_identify(
              db.table.n_keys)
     counts = count_sample(db.table, paths, cfg,
                           canonical=db.memory_efficient,
-                          use_native=use_native)
+                          use_native=use_native, keys=db.all_kmers)
     if cfg.strain_prob:
         prob = low_depth.identify_ranks(db, counts, cfg)
         generate_prob_report(prob, db.recls, out_dir)
@@ -115,7 +115,8 @@ def run_identify(
                        use_native=use_native)
         pdb_tree = load_tree_db(pdb)
         pcounts = count_sample(pdb_tree.table, paths, cfg,
-                               use_native=use_native)
+                               use_native=use_native,
+                               keys=pdb_tree.all_kmers)
         res, l2 = _search_ladder(pdb_tree, pcounts, cfg)
         if not res:
             log.warning("No clusters can be detected (plasmid DB)!")

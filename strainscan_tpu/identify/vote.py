@@ -130,7 +130,7 @@ def _count_union(clusters: List[L2DB], fq_paths, cfg: IdentifyConfig,
     union = np.unique(np.concatenate([cl.kmers for cl in clusters]))
     table = KmerTable.build(union, k=clusters[0].table.k)
     counts = count_sample(table, fq_paths, cfg, canonical=canonical,
-                          use_native=use_native)
+                          use_native=use_native, keys=union)
     out = {}
     for cl in clusters:
         idx = np.searchsorted(union, cl.kmers)

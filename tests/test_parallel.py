@@ -68,3 +68,56 @@ def test_sharded_l2_stats(problem):
     m, g = (np.asarray(x) for x in sharded_l2_stats(mesh, X, y))
     assert np.allclose(m, X.T @ y, rtol=1e-5)
     assert np.allclose(g, X.T @ X, rtol=1e-5)
+
+
+def test_sharded_pipeline_matches_single(problem):
+    """ShardedCountPipeline accumulates batches and returns counts in the
+    caller's id space (here: sorted order, same as KmerTable.build)."""
+    from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+    db, codes = problem
+    table = KmerTable.build(db, k=31)
+    single = CountPipeline(table)
+    single.add_batch(codes[:128])
+    single.add_batch(codes[128:])
+    want = single.finish()
+
+    pipe = ShardedCountPipeline(db, k=31, mesh=make_mesh(8))
+    pipe.add_batch(codes[:128])
+    pipe.add_batch(codes[128:])
+    got = pipe.finish()
+    assert np.array_equal(got, want)
+
+
+def test_sharded_pipeline_permuted_values(problem):
+    """An arbitrary external id order (converted-DB case) round-trips."""
+    from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+    db, codes = problem
+    perm = RNG.permutation(db.size).astype(np.int32)
+    keys_perm = db[np.argsort(perm)]      # keys listed in permuted order
+    pipe = ShardedCountPipeline(keys_perm, k=31, mesh=make_mesh(8))
+    pipe.add_batch(codes)
+    got = pipe.finish()
+
+    table = KmerTable.build(db, k=31)
+    single = CountPipeline(table)
+    single.add_batch(codes)
+    want = single.finish()
+    # got[i] is the count of keys_perm[i]
+    idx = np.searchsorted(db, keys_perm)
+    assert np.array_equal(got, want[idx])
+
+
+def test_sharded_pipeline_odd_batch(problem):
+    """Batch sizes not divisible by the data axis are padded, not dropped."""
+    from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+    db, codes = problem
+    table = KmerTable.build(db, k=31)
+    single = CountPipeline(table)
+    single.add_batch(codes[:37])
+    want = single.finish()
+    pipe = ShardedCountPipeline(db, k=31, mesh=make_mesh(8))
+    pipe.add_batch(codes[:37])
+    assert np.array_equal(pipe.finish(), want)

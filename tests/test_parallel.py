@@ -121,3 +121,17 @@ def test_sharded_pipeline_odd_batch(problem):
     pipe = ShardedCountPipeline(db, k=31, mesh=make_mesh(8))
     pipe.add_batch(codes[:37])
     assert np.array_equal(pipe.finish(), want)
+
+
+def test_distributed_helpers_single_process():
+    """Host-sharding helpers degrade to identity when not distributed."""
+    from strainscan_tpu.parallel import distributed as dist
+
+    idx, n = dist.process_info()
+    assert (idx, n) == (0, 1)
+    assert dist.shard_paths(["a.fq", "b.fq"]) == ["a.fq", "b.fq"]
+    assert dist.shard_range(10) == (0, 10)
+    import numpy as np
+
+    c = np.arange(5)
+    assert np.array_equal(np.asarray(dist.merge_counts(c)), c)

@@ -50,7 +50,7 @@ def mix_np(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return _fmix32_np(h ^ lo.astype(np.uint32))
 
 
-def mix_jnp(hi, lo):
+def mix_jnp(hi, lo, seed: int = 0):
     """Same mix on device (uint32 wrap-around semantics match NumPy)."""
     import jax.numpy as jnp
 
@@ -62,8 +62,35 @@ def mix_jnp(hi, lo):
         h = h ^ (h >> 16)
         return h
 
-    h = fmix(hi.astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
+    h = fmix(hi.astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9 ^ seed))
     return fmix(h ^ lo.astype(jnp.uint32))
+
+
+def mix_seeded_np(hi: np.ndarray, lo: np.ndarray, seed: int) -> np.ndarray:
+    h = _fmix32_np(hi.astype(np.uint32) ^ np.uint32(0x9E3779B9 ^ seed))
+    return _fmix32_np(h ^ lo.astype(np.uint32))
+
+
+def fp2_np(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Second, bucket-independent 32-bit fingerprint hash (NumPy)."""
+    h = _fmix32_np(lo.astype(np.uint32) ^ np.uint32(0x85EBCA6B))
+    return _fmix32_np(h ^ hi.astype(np.uint32))
+
+
+def fp2_jnp(hi, lo):
+    """Fingerprint hash on device — must match :func:`fp2_np` bit-for-bit."""
+    import jax.numpy as jnp
+
+    def fmix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return h
+
+    h = fmix(lo.astype(jnp.uint32) ^ jnp.uint32(0x85EBCA6B))
+    return fmix(h ^ hi.astype(jnp.uint32))
 
 
 @dataclasses.dataclass
@@ -226,6 +253,165 @@ class KmerTable:
         n_buckets, max_probe, n_keys, k = (int(x) for x in z["meta"])
         return cls(key_hi=z["key_hi"], key_lo=z["key_lo"], val=z["val"],
                    n_buckets=n_buckets, max_probe=max_probe, n_keys=n_keys, k=k)
+
+
+@dataclasses.dataclass
+class FpTable:
+    """Single-probe fingerprint table — the TPU hot-path index.
+
+    The query cost of :class:`KmerTable` is dominated by XLA's gather unit
+    (~150-350M rows/s on v5e regardless of locality), so the probe loop is
+    optimized for *one gather of the narrowest possible row*: each bucket
+    is ``bucket`` consecutive uint32 fingerprints (no keys, no values in
+    the hot row).  Build retries hash seeds until every key fits its home
+    bucket with a bucket-unique fingerprint — queries then need exactly
+    one row gather + lane compare.  Hits are counted in *slot space*
+    (``bucket_idx * bucket + lane``) and remapped to k-mer ids once per
+    stream via ``val``.
+
+    A query that misses can still match a random fingerprint with
+    probability ``bucket * 2**-32`` (~4e-9): over a 10^8-window sample
+    that is ~0.4 expected stray counts spread over millions of k-mers —
+    far below the reference pipeline's own outlier trims (100x-median
+    culls, identify.py:106-112).  Exact probing remains available via
+    :class:`KmerTable` (``probe_mode="exact"``).
+    """
+
+    fp: np.ndarray      # uint32 [n_buckets * bucket] (0 in empty slots)
+    val: np.ndarray     # int32  [n_buckets * bucket] (-1 empty)
+    n_buckets: int
+    bucket: int
+    seed: int
+    n_keys: int
+    k: int
+
+    @classmethod
+    def build(cls, keys_u64: np.ndarray, k: int,
+              values: np.ndarray | None = None, bucket: int = 16,
+              load_factor: float = 0.25, max_seed_tries: int = 32) -> "FpTable":
+        """Build from unique packed k-mers; retries seeds (then doubles the
+        table) until the single-probe invariant holds."""
+        keys_u64 = np.ascontiguousarray(keys_u64, dtype=np.uint64)
+        n = int(keys_u64.shape[0])
+        if values is None:
+            values = np.arange(n, dtype=np.int32)
+        values = np.ascontiguousarray(values, dtype=np.int32)
+        n_buckets = 1
+        while n_buckets * bucket * load_factor < max(n, 1):
+            n_buckets *= 2
+        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        f = fp2_np(hi, lo)
+        from strainscan_tpu import native
+
+        lib = native.get_lib()
+        while True:
+            for seed in range(max_seed_tries):
+                cap = n_buckets * bucket
+                fp = np.zeros(cap, dtype=np.uint32)
+                val = np.full(cap, -1, dtype=np.int32)
+                if lib is not None and hasattr(lib, "table_build_fp"):
+                    import ctypes
+
+                    ok = lib.table_build_fp(
+                        keys_u64.ctypes.data_as(ctypes.c_void_p),
+                        values.ctypes.data_as(ctypes.c_void_p),
+                        n, n_buckets, bucket, np.uint32(seed),
+                        fp.ctypes.data_as(ctypes.c_void_p),
+                        val.ctypes.data_as(ctypes.c_void_p))
+                    if ok == 0:
+                        return cls(fp=fp, val=val, n_buckets=n_buckets,
+                                   bucket=bucket, seed=seed, n_keys=n, k=k)
+                    continue
+                # NumPy fallback: rank keys within their home bucket
+                b = mix_seeded_np(hi, lo, seed).astype(np.int64) & (n_buckets - 1)
+                order = np.argsort(b, kind="stable")
+                b_sorted = b[order]
+                uniq, start, cnt = np.unique(
+                    b_sorted, return_index=True, return_counts=True)
+                if cnt.size and cnt.max() > bucket:
+                    continue
+                rank = np.arange(n) - np.repeat(start, cnt)
+                pos = b_sorted * bucket + rank
+                fp[pos] = f[order]
+                val[pos] = values[order]
+                # in-bucket fingerprint uniqueness
+                fp2d = fp.reshape(n_buckets, bucket)
+                occ = val.reshape(n_buckets, bucket) >= 0
+                s = np.sort(np.where(occ, fp2d, np.uint32(0)), axis=1)
+                dup = (s[:, 1:] == s[:, :-1]) & (s[:, 1:] != 0)
+                if dup.any():
+                    continue
+                return cls(fp=fp, val=val, n_buckets=n_buckets, bucket=bucket,
+                           seed=seed, n_keys=n, k=k)
+            n_buckets *= 2
+
+    @classmethod
+    def from_kmer_table(cls, table: "KmerTable", **kw) -> "FpTable":
+        """Derive from a stored exact table (ids preserved)."""
+        occ = table.val >= 0
+        keys = (table.key_hi[occ].astype(np.uint64) << np.uint64(32)) | \
+            table.key_lo[occ].astype(np.uint64)
+        return cls.build(keys, k=table.k, values=table.val[occ], **kw)
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_buckets * self.bucket
+
+    def device_arrays(self):
+        cached = getattr(self, "_device_cache", None)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+
+        out = jnp.asarray(self.fp.reshape(self.n_buckets, self.bucket))
+        object.__setattr__(self, "_device_cache", out)
+        return out
+
+    def remap_counts(self, slot_counts: np.ndarray) -> np.ndarray:
+        """Slot-space counts -> id-space counts (stray slots dropped)."""
+        out = np.zeros(self.n_keys, dtype=slot_counts.dtype)
+        occ = self.val >= 0
+        out[self.val[occ]] = slot_counts[occ]
+        return out
+
+    def lookup_host(self, keys_u64: np.ndarray) -> np.ndarray:
+        """NumPy slot lookup (oracle/tests). Returns int32 slot ids, -1 miss."""
+        keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
+        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        b = mix_seeded_np(hi, lo, self.seed).astype(np.int64) & (self.n_buckets - 1)
+        f = fp2_np(hi, lo)
+        rows = self.fp.reshape(self.n_buckets, self.bucket)[b]
+        hit = rows == f[:, None]
+        lane = hit.argmax(axis=1)
+        found = hit.any(axis=1)
+        return np.where(found, b * self.bucket + lane, -1).astype(np.int32)
+
+
+def lookup_fp_device(fp_table, n_buckets: int, bucket: int, seed: int, hi, lo):
+    """Single-gather device lookup over a fingerprint table.
+
+    Args:
+      fp_table: jnp uint32 [n_buckets, bucket].
+      n_buckets, bucket, seed: static ints.
+      hi, lo: query halves (any shape, uint32).
+
+    Returns int32 *slot* ids (bucket_idx * bucket + lane; -1 = miss).
+    """
+    import jax.numpy as jnp
+
+    shape = hi.shape
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    b = (mix_jnp(hi, lo, seed) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+    f = fp2_jnp(hi, lo)
+    rows = fp_table.at[b].get(mode="promise_in_bounds")  # [Q, bucket]
+    hit = rows == f[:, None]
+    lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    found = jnp.any(hit, axis=1)
+    slot = b * jnp.int32(bucket) + lane
+    return jnp.where(found, slot, -1).reshape(shape)
 
 
 def lookup_device(table, n_buckets: int, max_probe: int, hi, lo):

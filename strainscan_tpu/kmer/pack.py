@@ -127,6 +127,20 @@ def bitpack_codes(codes: np.ndarray):
     b, length = codes.shape
     w = -(-length // 16)
     vb = -(-length // 8)
+    from strainscan_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "pack_codes"):
+        import ctypes
+
+        codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
+        words = np.empty((b, w), dtype=np.uint32)
+        vbytes = np.empty((b, vb), dtype=np.uint8)
+        lib.pack_codes(
+            codes_c.ctypes.data_as(ctypes.c_void_p), b, length,
+            words.ctypes.data_as(ctypes.c_void_p), w,
+            vbytes.ctypes.data_as(ctypes.c_void_p), vb)
+        return words, vbytes
     cp = np.zeros((b, w * 16), dtype=np.uint32)
     cp[:, :length] = np.where(codes < 4, codes, 0).astype(np.uint32)
     words = np.zeros((b, w), dtype=np.uint32)

@@ -81,5 +81,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.pack_codes.restype = None
+        lib.pack_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.table_build_fp.restype = ctypes.c_int
+        lib.table_build_fp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
         return _LIB

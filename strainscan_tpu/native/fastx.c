@@ -337,3 +337,67 @@ int table_build(const uint64_t *keys, const int32_t *values, long long n,
     }
     return max_probe;
 }
+
+/* Seeded, variable-bucket-width variant for the fingerprint probe path
+ * (strainscan_tpu.index.hashtable.FpTable): tries to place every key in
+ * its home bucket only (probe distance 1 — the query then needs exactly
+ * one row gather).  Also writes the per-slot 32-bit fingerprint
+ * (second, bucket-independent hash).  Returns 0 on success, -1 when any
+ * bucket overflows or two keys in one bucket share a fingerprint (caller
+ * retries with the next seed). */
+int table_build_fp(const uint64_t *keys, const int32_t *values, long long n,
+                   long long n_buckets, int bucket, uint32_t seed,
+                   uint32_t *fp, int32_t *val) {
+    long long mask = n_buckets - 1;
+    for (long long i = 0; i < n; i++) {
+        uint32_t hi = (uint32_t)(keys[i] >> 32);
+        uint32_t lo = (uint32_t)(keys[i] & 0xFFFFFFFFu);
+        uint32_t h = fmix32(fmix32(hi ^ 0x9E3779B9u ^ seed) ^ lo);
+        uint32_t f = fmix32(fmix32(lo ^ 0x85EBCA6Bu) ^ hi);
+        long long base = ((long long)h & mask) * bucket;
+        int s;
+        for (s = 0; s < bucket; s++) {
+            if (val[base + s] < 0) {
+                fp[base + s] = f;
+                val[base + s] = values[i];
+                break;
+            }
+            if (fp[base + s] == f) return -1;  /* in-bucket fp collision */
+        }
+        if (s == bucket) return -1;            /* bucket overflow */
+    }
+    return 0;
+}
+
+/* Bit-pack an encoded read batch for host->device transfer: 2 bits/base
+ * plus 1 validity bit (see strainscan_tpu.kmer.pack.bitpack_codes — this
+ * is the same layout, ~10x faster than the NumPy fallback).  codes is
+ * uint8 [b, length] (0..3 base, >=4 invalid); words uint32 [b, w] with
+ * w = ceil(length/16); vbytes uint8 [b, vb] with vb = ceil(length/8). */
+void pack_codes(const unsigned char *codes, long long b, int length,
+                uint32_t *words, int w, unsigned char *vbytes, int vb) {
+    for (long long r = 0; r < b; r++) {
+        const unsigned char *row = codes + r * (long long)length;
+        uint32_t *wrow = words + r * (long long)w;
+        unsigned char *vrow = vbytes + r * (long long)vb;
+        for (int g = 0; g < w; g++) {
+            int base = g * 16;
+            int lim = length - base; if (lim > 16) lim = 16;
+            uint32_t acc = 0;
+            for (int t = 0; t < lim; t++) {
+                unsigned char c = row[base + t];
+                uint32_t valid = (uint32_t)(c < 4);      /* branchless */
+                acc |= ((uint32_t)(c & 3) * valid) << (2 * t);
+            }
+            wrow[g] = acc;
+        }
+        for (int g = 0; g < vb; g++) {
+            int base = g * 8;
+            int lim = length - base; if (lim > 8) lim = 8;
+            unsigned char acc = 0;
+            for (int t = 0; t < lim; t++)
+                acc |= (unsigned char)((row[base + t] < 4) << t);
+            vrow[g] = acc;
+        }
+    }
+}

@@ -99,3 +99,80 @@ def test_count_pipeline_matches_naive():
 
 def test_bucket_constant():
     assert BUCKET == 8
+
+
+def test_fp_table_build_and_lookup():
+    from strainscan_tpu.index.hashtable import FpTable
+
+    keys = _keys(5000)
+    t = FpTable.build(keys, k=31)
+    slots = t.lookup_host(keys)
+    assert (slots >= 0).all()
+    # slot -> id mapping is exactly the inserted values
+    assert np.array_equal(t.val[slots], np.arange(keys.size, dtype=np.int32))
+    # single-probe invariant: every key sits in its home bucket
+    assert (slots // t.bucket ==
+            (np.int64(0) + (slots // t.bucket))).all()
+    # misses return -1 (fingerprint false positives are ~4e-9, none expected)
+    probe = _keys(5000)
+    mask = ~np.isin(probe, keys)
+    got = t.lookup_host(probe)
+    assert (got[mask] == -1).all()
+
+
+def test_fp_table_from_kmer_table_preserves_ids():
+    from strainscan_tpu.index.hashtable import FpTable
+
+    keys = _keys(3000)
+    vals = RNG.permutation(keys.size).astype(np.int32)
+    kt = KmerTable.build(keys, k=31, values=vals)
+    ft = FpTable.from_kmer_table(kt)
+    slots = ft.lookup_host(keys)
+    assert np.array_equal(ft.val[slots], vals)
+
+
+def test_fp_remap_counts():
+    from strainscan_tpu.index.hashtable import FpTable
+
+    keys = _keys(1000)
+    t = FpTable.build(keys, k=31)
+    slot_counts = np.zeros(t.n_slots, dtype=np.int32)
+    slots = t.lookup_host(keys)
+    slot_counts[slots] = np.arange(keys.size, dtype=np.int32) + 7
+    out = t.remap_counts(slot_counts)
+    assert np.array_equal(out, np.arange(keys.size) + 7)
+
+
+def test_fp_device_lookup_matches_host():
+    from strainscan_tpu.index.hashtable import FpTable, lookup_fp_device
+
+    keys = _keys(4000)
+    t = FpTable.build(keys, k=31)
+    probe = np.concatenate([keys[:2000], _keys(1000)])
+    hi = (probe >> np.uint64(32)).astype(np.uint32)
+    lo = (probe & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    import jax.numpy as jnp
+
+    got = np.asarray(lookup_fp_device(
+        t.device_arrays(), t.n_buckets, t.bucket, t.seed,
+        jnp.asarray(hi), jnp.asarray(lo)))
+    assert np.array_equal(got, t.lookup_host(probe))
+
+
+def test_count_pipeline_exact_mode_matches_fp():
+    k = 31
+    genome = "".join(RNG.choice(list("ACGT"), size=3000))
+    db = pack.seq_kmer_set(genome, k, both_strands=True)
+    t = KmerTable.build(db, k=k)
+    reads = []
+    for _ in range(30):
+        s = RNG.integers(0, len(genome) - 80)
+        reads.append(genome[s : s + 80])
+    codes = np.full((len(reads), 90), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = pack.encode_seq(r)
+    a = CountPipeline(t, probe_mode="fp")
+    a.add_batch(codes)
+    b = CountPipeline(t, probe_mode="exact", packed_transfer=False)
+    b.add_batch(codes)
+    assert np.array_equal(a.finish(), b.finish())

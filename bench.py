@@ -23,9 +23,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GENOME_LEN = 1_000_000
-N_READS = 200_000
+N_READS = 600_000
 READ_LEN = 150
 K = 31
+BATCH = 65536
 JELLYFISH = "/root/reference/library/jellyfish-linux"
 
 
@@ -68,7 +69,7 @@ def bench_ours(db, fq):
     log(f"table built: {table.n_keys} keys, max_probe={table.max_probe}")
     # warm-up: upload the table once and compile the one batch shape
     pipe = CountPipeline(table)
-    first = next(iter(fastx.read_batches(fq, batch=32768,
+    first = next(iter(fastx.read_batches(fq, batch=BATCH,
                                          maxlen=READ_LEN + 6, k=K)))
     pipe.add_batch(first)
     log("compiled; warming finish")
@@ -77,7 +78,7 @@ def bench_ours(db, fq):
     log("timed run")
     t0 = time.time()
     n_reads = 0
-    for batch in fastx.read_batches(fq, batch=32768, maxlen=READ_LEN + 6,
+    for batch in fastx.read_batches(fq, batch=BATCH, maxlen=READ_LEN + 6,
                                     k=K):
         n_reads += batch.shape[0]
         pipe.add_batch(batch)

@@ -45,14 +45,30 @@ def _count_core(counts, codes, table, k, n_buckets, max_probe,
 
 
 def _count_core_fp(counts, codes, fp_table, k, n_buckets, bucket, seed,
-                   canonical):
+                   canonical, pallas=False):
     """Fingerprint hot path: ONE narrow row gather per window, counts in
-    slot space (counts has n_buckets*bucket+1 entries; last = trash)."""
-    hi, lo, valid = kdev.extract_kmers(codes, k)
-    if canonical:
-        hi, lo = kdev.canonical(hi, lo, k)
-    slots = lookup_fp_device(fp_table, n_buckets, bucket, seed, hi, lo)
-    slots = jnp.where(valid, slots, -1).reshape(-1)
+    slot space (counts has n_buckets*bucket+1 entries; last = trash).
+
+    With ``pallas=True`` the VPU stage (window extraction + bucket/
+    fingerprint hashing) runs as the fused Pallas kernel
+    (ops/pallas_probe.py); the gather and scatter stay on XLA's hardware
+    scatter/gather units, which are already row/update-rate-bound.
+    Canonical counting keeps the jnp path (the canonical min(fwd, rc)
+    compare needs both orientations, which the fused kernel doesn't emit).
+    """
+    if pallas and not canonical:
+        from strainscan_tpu.ops.pallas_probe import (lookup_fp_from_prep,
+                                                     probe_prep)
+
+        b_or_neg, fp = probe_prep(codes, k=k, n_buckets=n_buckets, seed=seed)
+        slots = lookup_fp_from_prep(fp_table, b_or_neg, fp, bucket)
+    else:
+        hi, lo, valid = kdev.extract_kmers(codes, k)
+        if canonical:
+            hi, lo = kdev.canonical(hi, lo, k)
+        slots = lookup_fp_device(fp_table, n_buckets, bucket, seed, hi, lo)
+        slots = jnp.where(valid, slots, -1)
+    slots = slots.reshape(-1)
     trash = n_buckets * bucket
     safe = jnp.where(slots >= 0, slots, trash)
     ones = jnp.ones_like(safe, dtype=counts.dtype)
@@ -82,7 +98,8 @@ def count_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_buckets", "bucket", "seed", "canonical"),
+    static_argnames=("k", "n_buckets", "bucket", "seed", "canonical",
+                     "pallas"),
     donate_argnames=("counts",),
 )
 def count_batch_fp(
@@ -95,17 +112,18 @@ def count_batch_fp(
     bucket: int,
     seed: int,
     canonical: bool,
+    pallas: bool = False,
 ) -> jax.Array:
     """Accumulate one batch into slot-space ``counts`` (donated,
     int32 [n_buckets*bucket + 1])."""
     return _count_core_fp(counts, codes, fp_table, k, n_buckets, bucket,
-                          seed, canonical)
+                          seed, canonical, pallas)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("length", "k", "n_buckets", "bucket", "seed",
-                     "canonical"),
+                     "canonical", "pallas"),
     donate_argnames=("counts",),
 )
 def count_batch_fp_packed(
@@ -120,10 +138,11 @@ def count_batch_fp_packed(
     bucket: int,
     seed: int,
     canonical: bool,
+    pallas: bool = False,
 ) -> jax.Array:
     codes = kdev.unpack_codes(words, vbytes, length)
     return _count_core_fp(counts, codes, fp_table, k, n_buckets, bucket,
-                          seed, canonical)
+                          seed, canonical, pallas)
 
 
 @functools.partial(
@@ -152,6 +171,12 @@ def count_batch_packed(
                        max_probe, n_kmers, canonical)
 
 
+@jax.jit
+def _remap_device(slot_counts: jax.Array, slot_of_id: jax.Array) -> jax.Array:
+    """Slot-space counts -> id-space counts via one device gather."""
+    return slot_counts.at[slot_of_id].get(mode="promise_in_bounds")
+
+
 class CountPipeline:
     """Streaming counter over read batches against one DB k-mer table.
 
@@ -164,11 +189,17 @@ class CountPipeline:
     """
 
     def __init__(self, table: KmerTable, canonical: bool = False,
-                 packed_transfer: bool = True, probe_mode: str = "fp"):
+                 packed_transfer: bool = True, probe_mode: str = "fp",
+                 pallas: Optional[bool] = None):
         self.table = table
         self.canonical = canonical
         self.packed_transfer = packed_transfer
         self.probe_mode = probe_mode
+        if pallas is None:
+            # fused Pallas VPU stage on real TPUs; the jnp path lowers
+            # better on the CPU test backend
+            pallas = jax.default_backend() not in ("cpu",)
+        self.pallas = bool(pallas) and not canonical
         if probe_mode == "fp":
             fpt = getattr(table, "_fp_cache", None)
             if fpt is None:
@@ -219,6 +250,7 @@ class CountPipeline:
                     bucket=self.fpt.bucket,
                     seed=self.fpt.seed,
                     canonical=self.canonical,
+                    pallas=self.pallas,
                 )
             else:
                 self.counts = count_batch_packed(
@@ -243,6 +275,7 @@ class CountPipeline:
                 bucket=self.fpt.bucket,
                 seed=self.fpt.seed,
                 canonical=self.canonical,
+                pallas=self.pallas,
             )
         else:
             self.counts = count_batch(
@@ -264,8 +297,18 @@ class CountPipeline:
         self.counts = jnp.zeros((n,), dtype=jnp.int32)
 
     def finish(self) -> np.ndarray:
-        """int32 [n_keys] hit counts aligned with the table's id space."""
-        raw = np.asarray(jax.device_get(self.counts))
+        """int32 [n_keys] hit counts aligned with the table's id space.
+
+        The slot->id remap runs ON DEVICE (one gather over ``slot_of_id``)
+        so only ``n_keys`` int32s cross the d2h link — the tunnel-attached
+        d2h path runs at ~60 MB/s, so fetching the full slot space
+        (4x larger at load factor 0.25) would dominate stream-end latency.
+        """
         if self.fpt is not None:
-            return self.fpt.remap_counts(raw[:-1])
-        return raw
+            soi = getattr(self, "_soi_dev", None)
+            if soi is None:
+                soi = jnp.asarray(self.fpt.slot_of_id())
+                self._soi_dev = soi
+            id_counts = _remap_device(self.counts, soi)
+            return np.asarray(jax.device_get(id_counts))
+        return np.asarray(jax.device_get(self.counts))

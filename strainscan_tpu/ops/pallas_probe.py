@@ -1,0 +1,144 @@
+"""Pallas TPU kernel for the count hot path's VPU stage.
+
+The fused restricted-count pipeline (strainscan_tpu/ops/count.py, the
+jellyfish-equivalent of reference library/identify.py:73-103) decomposes
+per read batch into
+
+  1. window extraction + hashing   (pure VPU arithmetic)   <- THIS KERNEL
+  2. one fingerprint-row gather    (XLA gather unit)
+  3. one scatter-add into counts   (XLA scatter unit)
+
+Stages 2 and 3 are row/update-count-bound on the TPU's hardware
+scatter/gather units (measured ~154 M rows/s and ~100-139 M updates/s on
+v5e regardless of table size or index locality — see BENCH notes), so XLA's
+native ops are already at the hardware rate and a Pallas reimplementation
+cannot beat them.  Stage 1 is where a hand-fused kernel helps: one VMEM
+pass produces every window's (bucket, fingerprint) pair straight from the
+2-bit read codes, instead of materializing hi/lo k-mer halves through HBM.
+
+The kernel reproduces, bit-for-bit, the composition of
+``kmer.device.extract_kmers`` + ``index.hashtable.mix_jnp/fp2_jnp``:
+
+  * windows are packed 5'-most base first into (hi, lo) uint32 halves,
+  * ``mix`` (seeded murmur3 finalizer cascade) selects the bucket,
+  * ``fp2`` (independent finalizer cascade) is the stored fingerprint,
+  * windows containing any invalid code (>= 4: N base or padding) return
+    bucket -1.
+
+Outputs are ``(bucket_or_neg int32 [B, M], fp uint32 [B, M])`` with
+``M = L - k + 1``; the caller finishes the probe with the XLA gather +
+compare + scatter exactly as :func:`ops.count._count_core_fp`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+
+# rows per grid program; 8-sublane-aligned, sized so all live [TB, L]
+# uint32 intermediates stay well under the ~16 MB VMEM budget.
+_TILE_ROWS = 256
+
+
+def _fmix(h):
+    h = h ^ (h >> 16)
+    h = h * U32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * U32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _probe_prep_kernel(codes_ref, bucket_ref, fp_ref, *, k: int,
+                       n_buckets: int, seed: int, m: int):
+    c = codes_ref[:].astype(U32)                 # [TB, L]
+    k_lo = min(k, 16)
+    k_hi = k - k_lo
+    hi = jnp.zeros((c.shape[0], m), dtype=U32)
+    lo = jnp.zeros((c.shape[0], m), dtype=U32)
+    bad = jnp.zeros((c.shape[0], m), dtype=U32)
+    for j in range(k_hi):
+        w = c[:, j:j + m]
+        hi = (hi << 2) | (w & U32(3))
+        bad = bad | (w >> 2)                     # any code >= 4 sets bits
+    for j in range(k_lo):
+        w = c[:, k_hi + j:k_hi + j + m]
+        lo = (lo << 2) | (w & U32(3))
+        bad = bad | (w >> 2)
+    h = _fmix(hi ^ U32(0x9E3779B9 ^ seed))
+    b = (_fmix(h ^ lo) & U32(n_buckets - 1)).astype(jnp.int32)
+    f = _fmix(lo ^ U32(0x85EBCA6B))
+    fp = _fmix(f ^ hi)
+    bucket_ref[:] = jnp.where(bad == 0, b, -1)
+    fp_ref[:] = fp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_buckets", "seed", "interpret"))
+def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
+               interpret: bool = False):
+    """All read windows' (bucket, fingerprint) pairs, fused in one kernel.
+
+    Args:
+      codes: uint8 [B, L] encoded reads (0..3 bases, >=4 invalid/pad).
+        B must be a multiple of 8 (sublane alignment); the batched read
+        loader always produces power-of-two batches.
+      k: k-mer size (<= 31).
+      n_buckets: power-of-two bucket count of the fingerprint table.
+      seed: bucket-hash seed of the table.
+      interpret: run in the Pallas interpreter (CPU debugging/tests).
+
+    Returns:
+      (bucket_or_neg int32 [B, M], fp uint32 [B, M]); bucket is -1 for
+      windows containing an invalid code.
+    """
+    b, length = codes.shape
+    m = length - k + 1
+    if m <= 0:
+        raise ValueError(f"reads of length {length} cannot hold {k}-mers")
+    tile = min(_TILE_ROWS, b)
+    if b % tile:
+        raise ValueError(f"batch rows {b} not a multiple of {tile}")
+    kern = functools.partial(_probe_prep_kernel, k=k, n_buckets=n_buckets,
+                             seed=seed, m=m)
+    return pl.pallas_call(
+        kern,
+        grid=(b // tile,),
+        in_specs=[pl.BlockSpec((tile, length), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((tile, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, m), U32),
+        ),
+        interpret=interpret,
+    )(codes)
+
+
+def lookup_fp_from_prep(fp_table, bucket_or_neg, fp, bucket: int):
+    """Finish a fingerprint probe from kernel outputs (slot ids, -1 miss).
+
+    ``fp_table``: uint32 [n_buckets, bucket]; the gather + lane compare are
+    left to XLA's hardware gather (see module docstring).
+    """
+    shape = bucket_or_neg.shape
+    b = jnp.maximum(bucket_or_neg, 0).reshape(-1)
+    f = fp.reshape(-1)
+    rows = fp_table.at[b].get(mode="promise_in_bounds")
+    hit = rows == f[:, None]
+    lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    found = jnp.any(hit, axis=1) & (bucket_or_neg.reshape(-1) >= 0)
+    slot = b * jnp.int32(bucket) + lane
+    return jnp.where(found, slot, -1).reshape(shape)

@@ -49,18 +49,17 @@ def _count_core_fp(counts, codes, fp_table, k, n_buckets, bucket, seed,
     """Fingerprint hot path: ONE narrow row gather per window, counts in
     slot space (counts has n_buckets*bucket+1 entries; last = trash).
 
-    With ``pallas=True`` the VPU stage (window extraction + bucket/
-    fingerprint hashing) runs as the fused Pallas kernel
-    (ops/pallas_probe.py); the gather and scatter stay on XLA's hardware
-    scatter/gather units, which are already row/update-rate-bound.
-    Canonical counting keeps the jnp path (the canonical min(fwd, rc)
-    compare needs both orientations, which the fused kernel doesn't emit).
+    With ``pallas=True`` the VPU stage (window extraction, optional
+    canonicalization, bucket/fingerprint hashing) runs as the fused Pallas
+    kernel (ops/pallas_probe.py); the gather and scatter stay on XLA's
+    hardware scatter/gather units, which are already row/update-rate-bound.
     """
-    if pallas and not canonical:
+    if pallas:
         from strainscan_tpu.ops.pallas_probe import (lookup_fp_from_prep,
                                                      probe_prep)
 
-        b_or_neg, fp = probe_prep(codes, k=k, n_buckets=n_buckets, seed=seed)
+        b_or_neg, fp = probe_prep(codes, k=k, n_buckets=n_buckets, seed=seed,
+                                  canonical=canonical)
         slots = lookup_fp_from_prep(fp_table, b_or_neg, fp, bucket)
     else:
         hi, lo, valid = kdev.extract_kmers(codes, k)
@@ -199,7 +198,7 @@ class CountPipeline:
             # fused Pallas VPU stage on real TPUs; the jnp path lowers
             # better on the CPU test backend
             pallas = jax.default_backend() not in ("cpu",)
-        self.pallas = bool(pallas) and not canonical
+        self.pallas = bool(pallas)
         if probe_mode == "fp":
             fpt = getattr(table, "_fp_cache", None)
             if fpt is None:

@@ -55,8 +55,44 @@ def _fmix(h):
     return h
 
 
+def _rev2(x):
+    """Reverse the sixteen 2-bit groups of each uint32 lane (matches
+    kmer.device._rev2)."""
+    m2 = U32(0x33333333)
+    m4 = U32(0x0F0F0F0F)
+    m8 = U32(0x00FF00FF)
+    x = ((x >> 2) & m2) | ((x & m2) << 2)
+    x = ((x >> 4) & m4) | ((x & m4) << 4)
+    x = ((x >> 8) & m8) | ((x & m8) << 8)
+    x = (x >> 16) | (x << 16)
+    return x
+
+
+def _canonicalize(hi, lo, k):
+    """min(fwd, revcomp) under 64-bit order (matches kmer.device.canonical)."""
+    s = 64 - 2 * k
+    r_hi = _rev2(~lo)
+    r_lo = _rev2(~hi)
+    if s == 0:
+        new_hi, new_lo = r_hi, r_lo
+    elif s < 32:
+        new_lo = (r_lo >> s) | (r_hi << (32 - s))
+        new_hi = r_hi >> s
+    elif s == 32:
+        new_lo, new_hi = r_hi, jnp.zeros_like(r_hi)
+    else:
+        new_lo = r_hi >> (s - 32)
+        new_hi = jnp.zeros_like(r_hi)
+    mask_hi = U32((1 << max(2 * k - 32, 0)) - 1) if 2 * k > 32 else U32(0)
+    mask_lo = U32(0xFFFFFFFF) if 2 * k >= 32 else U32((1 << (2 * k)) - 1)
+    new_hi, new_lo = new_hi & mask_hi, new_lo & mask_lo
+    fwd_less = (hi < new_hi) | ((hi == new_hi) & (lo <= new_lo))
+    return (jnp.where(fwd_less, hi, new_hi),
+            jnp.where(fwd_less, lo, new_lo))
+
+
 def _probe_prep_kernel(codes_ref, bucket_ref, fp_ref, *, k: int,
-                       n_buckets: int, seed: int, m: int):
+                       n_buckets: int, seed: int, m: int, canonical: bool):
     c = codes_ref[:].astype(U32)                 # [TB, L]
     k_lo = min(k, 16)
     k_hi = k - k_lo
@@ -71,6 +107,8 @@ def _probe_prep_kernel(codes_ref, bucket_ref, fp_ref, *, k: int,
         w = c[:, k_hi + j:k_hi + j + m]
         lo = (lo << 2) | (w & U32(3))
         bad = bad | (w >> 2)
+    if canonical:
+        hi, lo = _canonicalize(hi, lo, k)
     h = _fmix(hi ^ U32(0x9E3779B9 ^ seed))
     b = (_fmix(h ^ lo) & U32(n_buckets - 1)).astype(jnp.int32)
     f = _fmix(lo ^ U32(0x85EBCA6B))
@@ -81,9 +119,9 @@ def _probe_prep_kernel(codes_ref, bucket_ref, fp_ref, *, k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_buckets", "seed", "interpret"))
+    static_argnames=("k", "n_buckets", "seed", "canonical", "interpret"))
 def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
-               interpret: bool = False):
+               canonical: bool = False, interpret: bool = False):
     """All read windows' (bucket, fingerprint) pairs, fused in one kernel.
 
     Args:
@@ -93,6 +131,8 @@ def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
       k: k-mer size (<= 31).
       n_buckets: power-of-two bucket count of the fingerprint table.
       seed: bucket-hash seed of the table.
+      canonical: hash min(fwd, revcomp) of each window (memory-efficient
+        canonical-only DBs) instead of the forward orientation.
       interpret: run in the Pallas interpreter (CPU debugging/tests).
 
     Returns:
@@ -107,7 +147,7 @@ def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
     if b % tile:
         raise ValueError(f"batch rows {b} not a multiple of {tile}")
     kern = functools.partial(_probe_prep_kernel, k=k, n_buckets=n_buckets,
-                             seed=seed, m=m)
+                             seed=seed, m=m, canonical=canonical)
     return pl.pallas_call(
         kern,
         grid=(b // tile,),

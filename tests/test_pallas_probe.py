@@ -45,6 +45,29 @@ def test_probe_prep_matches_extract_and_hash(k):
     assert (bucket[~valid] == -1).all()
 
 
+@pytest.mark.parametrize("k", [31, 16])
+def test_probe_prep_canonical_matches_device_canonicalize(k):
+    rng = np.random.default_rng(2)
+    b, length = 16, 64
+    codes = _random_codes(rng, b, length)
+    n_buckets, seed = 1 << 10, 0
+
+    bucket, fp = probe_prep(jnp.asarray(codes), k=k, n_buckets=n_buckets,
+                            seed=seed, canonical=True, interpret=True)
+    bucket, fp = np.asarray(bucket), np.asarray(fp)
+
+    hi, lo, valid = kdev.extract_kmers(codes, k)
+    chi, clo = kdev.canonical(hi, lo, k)
+    chi, clo, valid = np.asarray(chi), np.asarray(clo), np.asarray(valid)
+    exp_bucket = (mix_seeded_np(chi, clo, seed).astype(np.int64)
+                  & (n_buckets - 1)).astype(np.int32)
+    exp_fp = fp2_np(chi, clo)
+
+    np.testing.assert_array_equal(bucket[valid], exp_bucket[valid])
+    np.testing.assert_array_equal(fp[valid], exp_fp[valid])
+    assert (bucket[~valid] == -1).all()
+
+
 def test_probe_prep_plus_lookup_matches_host_oracle():
     k = 31
     rng = np.random.default_rng(1)

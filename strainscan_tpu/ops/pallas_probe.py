@@ -126,8 +126,8 @@ def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
 
     Args:
       codes: uint8 [B, L] encoded reads (0..3 bases, >=4 invalid/pad).
-        B must be a multiple of 8 (sublane alignment); the batched read
-        loader always produces power-of-two batches.
+        Any B works: rows are padded internally to the grid tile (pad
+        rows are all-invalid and sliced off the outputs).
       k: k-mer size (<= 31).
       n_buckets: power-of-two bucket count of the fingerprint table.
       seed: bucket-hash seed of the table.
@@ -143,14 +143,18 @@ def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
     m = length - k + 1
     if m <= 0:
         raise ValueError(f"reads of length {length} cannot hold {k}-mers")
-    tile = min(_TILE_ROWS, b)
-    if b % tile:
-        raise ValueError(f"batch rows {b} not a multiple of {tile}")
+    # pad rows up to the grid tile (8-sublane-aligned below _TILE_ROWS);
+    # pad rows are all-invalid (code 4) so their windows hash to bucket -1
+    # and are sliced off before returning.
+    bp = -(-b // 8) * 8 if b <= _TILE_ROWS else -(-b // _TILE_ROWS) * _TILE_ROWS
+    tile = min(_TILE_ROWS, bp)
+    if bp != b:
+        codes = jnp.pad(codes, ((0, bp - b), (0, 0)), constant_values=4)
     kern = functools.partial(_probe_prep_kernel, k=k, n_buckets=n_buckets,
                              seed=seed, m=m, canonical=canonical)
-    return pl.pallas_call(
+    bucket_or_neg, fp = pl.pallas_call(
         kern,
-        grid=(b // tile,),
+        grid=(bp // tile,),
         in_specs=[pl.BlockSpec((tile, length), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
@@ -160,11 +164,14 @@ def probe_prep(codes: jax.Array, *, k: int, n_buckets: int, seed: int,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, m), jnp.int32),
-            jax.ShapeDtypeStruct((b, m), U32),
+            jax.ShapeDtypeStruct((bp, m), jnp.int32),
+            jax.ShapeDtypeStruct((bp, m), U32),
         ),
         interpret=interpret,
     )(codes)
+    if bp != b:
+        bucket_or_neg, fp = bucket_or_neg[:b], fp[:b]
+    return bucket_or_neg, fp
 
 
 def lookup_fp_from_prep(fp_table, bucket_or_neg, fp, bucket: int):

@@ -27,7 +27,8 @@ over dense count arrays instead of k-mer string dicts:
 * fallbacks: best-coverage alternative (identify.py:459-470; the reference
   re-evaluates a stale loop variable there — we evaluate the chosen
   candidate, the evident intent) and qualified-parent best leaf
-  (identify.py:473-487).
+  (identify.py:473-487) — the latter only for standard DBs, because
+  identify_low_mem.py has no qualified-parent fallback.
 """
 
 from __future__ import annotations
@@ -412,7 +413,10 @@ class CSTSearch:
                     results = [r]
                     total_ab = self.data[r].ab
 
-        if not results and qualified_parents:
+        # Reference parity: identify_low_mem.py has NO qualified-parent
+        # fallback (it exists only in identify.py:473-487), so skip it for
+        # memory-efficient DBs.
+        if not results and qualified_parents and not self.db.memory_efficient:
             qp = qualified_parents[-1]
             cov_tmp = {n: self.cov[n] for n in self.cov
                        if n in leaf_set and (tree.is_ancestor(qp, n)

@@ -390,17 +390,6 @@ class FpTable:
         object.__setattr__(self, "_slot_of_id", out)
         return out
 
-    def slot_of_id(self) -> np.ndarray:
-        """int32 [n_keys]: slot index of every k-mer id (device remap aid)."""
-        cached = getattr(self, "_slot_of_id", None)
-        if cached is not None:
-            return cached
-        out = np.empty(self.n_keys, dtype=np.int32)
-        occ = np.nonzero(self.val >= 0)[0].astype(np.int32)
-        out[self.val[occ]] = occ
-        object.__setattr__(self, "_slot_of_id", out)
-        return out
-
     def lookup_host(self, keys_u64: np.ndarray) -> np.ndarray:
         """NumPy slot lookup (oracle/tests). Returns int32 slot ids, -1 miss."""
         keys_u64 = np.asarray(keys_u64, dtype=np.uint64)

@@ -290,9 +290,15 @@ def export_reference_db(db_dir: str, out_dir: str) -> None:
     os.makedirs(os.path.join(tdir, "kmers"), exist_ok=True)
     os.makedirs(os.path.join(tdir, "overlapping_info"), exist_ok=True)
 
+    # tree_structure.txt must be readable by the reference's
+    # read_tree_structure (identify.py:15-42): it reverses the lines and
+    # creates nodes in that order, so every parent must appear AFTER all
+    # its children and the root must be the last line (reversed -> BFS:
+    # root first, parents before children, children in (a, b) order).
+    bfs = db.tree.nodes_bfs()
     order = sorted(set(db.node_length) | set(db.node_kmers))
     with open(os.path.join(tdir, "tree_structure.txt"), "w") as f:
-        for nid in order:
+        for nid in reversed(bfs):
             f.write(f"{nid}\t")
             f.write("N\t" if nid == db.tree.root
                     else f"{db.tree.parent[nid]}\t")

@@ -69,7 +69,11 @@ def build_cluster_matrix(
 ) -> L2Cluster:
     k = cfg.ksize
     n = len(members)
-    kmode = "canonical" if cfg.memory_efficient else "both"
+    # The reference L2 build is identical in standard and memory-efficient
+    # modes — both orientations always (Build_kmer_sets...sp.py:536-539;
+    # only Build_tree has a _mem canonical variant), so -e does not change
+    # the L2 k-mer sets.
+    kmode = "both"
     # presence sets per strain (both orientations, unique)
     presence = [
         fastx.genome_kmers(genome_of[s], k, mode=kmode, unique=True)
@@ -172,7 +176,10 @@ def build_overlap_matrices(
         members = recls[cid]
         if not members:
             continue
-        kmode = "canonical" if cfg.memory_efficient else "both"
+        # both orientations regardless of -e: the reference's mem-mode
+        # jellyfish variant matches canonically (-C), which over raw L2
+        # k-mers is equivalent to membership in the both-orientation union
+        kmode = "both"
         union = np.unique(np.concatenate([
             fastx.genome_kmers(genome_of[s], cfg.ksize, mode=kmode)
             for s in members

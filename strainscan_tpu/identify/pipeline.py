@@ -87,8 +87,11 @@ def run_identify(
     db = load_tree_db(db_dir)
     log.info("counting sample k-mers against %d DB k-mers",
              db.table.n_keys)
-    counts = count_sample(db.table, paths, cfg,
-                          canonical=db.memory_efficient,
+    # Reference parity: jellyfish runs WITHOUT -C in every identify path
+    # (identify.py:82-87, identify_low_mem.py:74) — even against a
+    # memory-efficient DB whose stored k-mers are canonical, so
+    # reverse-orientation read k-mers simply don't count there.
+    counts = count_sample(db.table, paths, cfg, canonical=False,
                           use_native=use_native, keys=db.all_kmers)
     if cfg.strain_prob:
         prob = low_depth.identify_ranks(db, counts, cfg)
@@ -124,7 +127,9 @@ def run_identify(
         vote_db_dir = pdb
         db = pdb_tree
 
+    # canonical=False: L2 jellyfish also runs without -C
+    # (Vote_Strain_L2_Lasso_new_sp.py:359-371), DB mode notwithstanding
     vote.vote_strain_l2_batch(
         paths, vote_db_dir, out_dir, res, l2, cfg, pmode=pmode, emode=emode,
-        canonical=db.memory_efficient, use_native=use_native, log=log.info)
+        canonical=False, use_native=use_native, log=log.info)
     return res

@@ -76,8 +76,10 @@ def test_memory_efficient_db(setup):
     res = run_identify(fq, "", db_dir, out)
     assert res is not None
     assert next(iter(res.values()))["strain"] == "Y1"
-    # canonical DB: coverage ~1-e^-3.5 (both orientations merge)
-    assert next(iter(res.values()))["cls_cov"] > 0.9
+    # canonical half-size DB counted WITHOUT -C (reference
+    # identify_low_mem.py:74): only same-orientation reads hit, so
+    # effective depth halves -> coverage ~1-e^-2.1
+    assert next(iter(res.values()))["cls_cov"] > 0.8
 
 
 def test_strain_prob_report(setup):

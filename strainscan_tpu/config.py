@@ -98,6 +98,10 @@ class IdentifyConfig:
     # device batching
     read_batch: int = 65536            # reads per device batch
     max_read_len: int = 256            # padded read length bucket ceiling
+    # minimum table size before multi-device index sharding pays for its
+    # collectives; smaller tables (e.g. per-cluster L2 sets) run the fused
+    # single-device pipeline even on a pod
+    shard_min_kmers: int = 2_000_000
 
     def ladder(self) -> Tuple[Tuple[float, float, float], ...]:
         """Cutoff schedule for the chosen low-depth mode (StrainScan.py:192-217)."""

@@ -31,15 +31,18 @@ def count_sample(
 ) -> np.ndarray:
     """Stream the sample through the device count pipeline.
 
-    With >1 visible device and the DB's key array supplied, the hash table
-    is sharded over the mesh's ``index`` axis and batches stream
+    With >1 visible device, the DB's key array supplied, AND a table big
+    enough to be worth sharding (``cfg.shard_min_kmers`` — sharding a
+    tiny L2 table would only add collective latency), the hash table is
+    sharded over the mesh's ``index`` axis and batches stream
     data-parallel (SURVEY §2.3 TPU-native scale-out); otherwise the fused
     single-device pipeline runs.  Both return counts in the table's id
     space.
     """
     import jax
 
-    if keys is not None and jax.device_count() > 1:
+    if (keys is not None and jax.device_count() > 1
+            and keys.size >= cfg.shard_min_kmers):
         from strainscan_tpu.parallel.sharded import ShardedCountPipeline
 
         pipe = ShardedCountPipeline(keys, k=table.k, canonical=canonical)

@@ -57,7 +57,7 @@ def _optimize_dominant(X: np.ndarray, y: np.ndarray) -> int:
     s = X.shape[1]
     res = np.zeros(s)
     for c in range(s):
-        da = X[:, c] * y
+        da = X[:, c].astype(np.float64) * y
         da_noz = da[da != 0]
         if da_noz.size < 1 or np.sum(da_noz) == 0:
             res[c] = 0.0
@@ -73,7 +73,7 @@ def _optimize_dominant(X: np.ndarray, y: np.ndarray) -> int:
 
 def _avg_depth(dominant: int, X: np.ndarray, y: np.ndarray) -> float:
     """get_avg_depth (:110-120): IQR-trimmed mean of covered counts."""
-    doarr = X[:, dominant] * y
+    doarr = X[:, dominant].astype(np.float64) * y
     doarr = np.where(doarr == 1, 0, doarr)
     noz = doarr[doarr != 0]
     if noz.size == 0:
@@ -93,6 +93,91 @@ def _candidate(npXt: np.ndarray, y: np.ndarray) -> Tuple[int, int]:
     checks = (prod > 1).sum(axis=1)
     cand = int(np.argmax(checks))
     return cand, int(checks[cand])
+
+
+class _L2Kernels:
+    """Device-resident Pre-Scan linear algebra (SURVEY §7: 'Pre-Scan as
+    jnp mat-vecs').
+
+    Everything the scan loop needs reduces to masked COLUMN SUMS of the
+    0/1 k-mer x strain matrix — ``X^T m`` with a boolean row mask — plus
+    an O(n) running ``used`` union.  All inputs are 0/1 and counts are
+    ints, so int8 matvecs (MXU-native, int32 accumulate) are EXACT and
+    bit-match the reference's dense products:
+
+        get_candidate_arr (:121-134): count((npXt * y) > 1) per strain,
+          where npXt = pXt_tem masked by ~used  ==  X^T (~used & (y > 1))
+        get_remainc (:94-108): same with the pre-loop used vector
+        cal_cov_all / stat_cov (:33-49): X^T (y > 1) over X's support
+
+    Falls back to NumPy (same integer algebra) off-device; the scan
+    control flow (accept/reject, data-dependent exit — SURVEY hard part
+    #5) stays on the host, fetching two scalars per round.
+    """
+
+    def __init__(self, X: np.ndarray, use_device: bool = True):
+        self.n, self.s = X.shape
+        if X.size and (X.min() < 0 or X.max() > 1
+                       or not np.array_equal(X, np.rint(X))):
+            raise ValueError("Pre-Scan kernels require a 0/1 strain matrix")
+        X8 = X.astype(np.int8)
+        self.jax = None
+        if use_device:
+            try:
+                import jax
+                import jax.numpy as jnp
+
+                self.jax = jax
+                self.Xd = jnp.asarray(X8)
+
+                @jax.jit
+                def colsum(Xd, m):
+                    return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
+                                      preferred_element_type=jnp.int32)
+
+                @jax.jit
+                def colsum_unused(Xd, used, big):
+                    m = jnp.logical_and(jnp.logical_not(used), big)
+                    return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
+                                      preferred_element_type=jnp.int32)
+
+                @jax.jit
+                def or_col(used, Xd, c):
+                    return used | (Xd[:, c] > 0)
+
+                self._colsum = colsum
+                self._colsum_unused = colsum_unused
+                self._or_col = or_col
+            except Exception:
+                self.jax = None
+        if self.jax is None:
+            self.X8 = X8
+
+    def to_mask(self, m: np.ndarray):
+        if self.jax is not None:
+            import jax.numpy as jnp
+
+            return jnp.asarray(m)
+        return np.asarray(m)
+
+    def colsum(self, mask) -> np.ndarray:
+        """int32 [s]: per-strain count of set rows within X's support."""
+        if self.jax is not None:
+            return np.asarray(self._colsum(self.Xd, mask))
+        return self.X8.T.astype(np.int32) @ mask.astype(np.int32)
+
+    def colsum_unused(self, used, big) -> np.ndarray:
+        """int32 [s]: X^T (~used & big) — one fused matvec per round."""
+        if self.jax is not None:
+            return np.asarray(self._colsum_unused(self.Xd, used, big))
+        return self.X8.T.astype(np.int32) @ (
+            (~used) & big).astype(np.int32)
+
+    def or_column(self, used, c: int):
+        """used |= X[:, c] (kept device-resident across scan rounds)."""
+        if self.jax is not None:
+            return self._or_col(used, self.Xd, c)
+        return used | (self.X8[:, c] > 0)
 
 
 def detect_strains(
@@ -117,22 +202,37 @@ def detect_strains(
     per-k-mer counts (1-counts already zeroed), om_selected the overlap
     matrix restricted to the detected clusters' columns.
     """
-    X = np.asarray(X, dtype=np.float64)
+    # X stays int8 end to end (it is tens-of-MB x 8 at E. coli scale as
+    # float64); column products cast on demand
+    X = np.asarray(X)
     py = np.asarray(py, dtype=np.float64)
     ln = om_selected.sum(axis=1).astype(np.float64)
     ln[ln > 1] = 0
     py_u = py * ln
 
     cutoff = msn * ksize
-    pXt = X.T
-    cov_arr = _cal_cov_all(X, py)
+    # X is the 0/1 strain matrix (all_strains_re), so every Pre-Scan
+    # statistic reduces to exact integer matvecs (see _L2Kernels); the
+    # [s, n] npXt materialization per round is gone.
+    kern = _L2Kernels(X)
+    totals = kern.colsum(kern.to_mask(np.ones(X.shape[0], dtype=bool)))
+    big_py = py > 1
+    valid_all = kern.colsum(kern.to_mask(big_py))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov_arr = np.where(totals > 0, valid_all / np.maximum(totals, 1),
+                           0.0)
+
+    def stat_cov_i(i):
+        t = int(totals[i])
+        v = int(valid_all[i])
+        return (v / t if t else 0.0, v, t)
+
     dominant_avg_depth = 0.0
     default_cov = 0.0 if (pmode == 1 or emode == 1) else cfg.prescan_default_cov
     if np.max(cov_arr) > default_cov:
         gate = (cov_arr > default_cov).astype(np.float64)
-        pXt_tem = pXt * gate[:, None]
     else:
-        pXt_tem = pXt
+        gate = np.ones(X.shape[1])
         if np.max(cov_arr) < 0.01:
             l2 = 2
 
@@ -150,39 +250,38 @@ def detect_strains(
     strain_cov: Dict[str, Tuple[float, int, int]] = {}
     strain_val: Dict[str, int] = {}
     final_src: Dict[str, float] = {}
-    strain_cov[sid[dominant]] = _stat_cov(X[:, dominant], py)
+    strain_cov[sid[dominant]] = stat_cov_i(dominant)
     strain_val[sid[dominant]] = strain_cov[sid[dominant]][1]
     final_src[sid[dominant]] = strain_cov[sid[dominant]][0]
 
-    # stale remain-coverage, computed once (get_remainc, :94-108 at :316)
-    used = pXt[dominant].copy()
-    npXt0 = 2 * used + pXt_tem
-    npXt0 = np.where(npXt0 > 1, 0, npXt0)
-    strain_remainc = np.zeros(X.shape[1])
-    for i in range(X.shape[1]):
-        if i == dominant:
-            strain_remainc[i] = strain_cov[sid[dominant]][0]
-            continue
-        all_k = npXt0[i].sum()
-        check = np.count_nonzero((npXt0[i] * py_u) > 1)
-        strain_remainc[i] = check / all_k if all_k else 0.0
+    # stale remain-coverage, computed once (get_remainc, :94-108 at :316):
+    # npXt0[i] = pXt_tem[i] & ~used, so all_k = gate * X^T(~used) and the
+    # covered count = gate * X^T(~used & (py_u > 1))
+    used = kern.to_mask(X[:, dominant] > 0)
+    big_pyu = kern.to_mask(big_py & (ln > 0))
+    all_ones = kern.to_mask(np.ones(X.shape[0], dtype=bool))
+    all_k = gate * kern.colsum_unused(used, all_ones)
+    chk = gate * kern.colsum_unused(used, big_pyu)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        strain_remainc = np.where(all_k > 0, chk / np.maximum(all_k, 1), 0.0)
+    strain_remainc[dominant] = strain_cov[sid[dominant]][0]
 
+    big_yy = big_pyu if py_u.sum() > 0 else kern.to_mask(big_py)
     remainc_cutoff = 0.0 if emode == 1 else cfg.prescan_remainc
     check_c = cfg.emode_check_c if emode == 1 else cutoff
     for _ in range(cfg.prescan_max_iter):
-        npXt = 2 * used + pXt_tem
-        npXt = np.where(npXt > 1, 0, npXt)
-        yy = py_u if py_u.sum() > 0 else py
-        cand, check = _candidate(npXt, yy)
+        # get_candidate_arr (:121-134): one fused matvec per round
+        checks = gate * kern.colsum_unused(used, big_yy)
+        cand = int(np.argmax(checks))
+        check = int(checks[cand])
         if check >= check_c:
             if strain_remainc[cand] > remainc_cutoff:
                 out_columns.append(cand)
                 out_strains.append(sid[cand])
-                strain_cov[sid[cand]] = _stat_cov(X[:, cand], py)
+                strain_cov[sid[cand]] = stat_cov_i(cand)
                 strain_val[sid[cand]] = check
                 final_src[sid[cand]] = strain_remainc[cand]
-            used = used + pXt[cand]
-            used = np.where(used > 1, 1, used)
+            used = kern.or_column(used, cand)
         else:
             break
 

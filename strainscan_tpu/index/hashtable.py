@@ -286,6 +286,57 @@ class FpTable:
     k: int
 
     @classmethod
+    def build_attempt(cls, keys_u64: np.ndarray, k: int,
+                      values: np.ndarray, n_buckets: int, bucket: int,
+                      seed: int) -> "FpTable | None":
+        """ONE placement attempt at fixed geometry/seed; None on failure
+        (overfull home bucket or duplicate in-bucket fingerprint)."""
+        n = int(keys_u64.shape[0])
+        cap = n_buckets * bucket
+        fp = np.zeros(cap, dtype=np.uint32)
+        val = np.full(cap, -1, dtype=np.int32)
+        from strainscan_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "table_build_fp"):
+            import ctypes
+
+            ok = lib.table_build_fp(
+                keys_u64.ctypes.data_as(ctypes.c_void_p),
+                values.ctypes.data_as(ctypes.c_void_p),
+                n, n_buckets, bucket, np.uint32(seed),
+                fp.ctypes.data_as(ctypes.c_void_p),
+                val.ctypes.data_as(ctypes.c_void_p))
+            if ok == 0:
+                return cls(fp=fp, val=val, n_buckets=n_buckets,
+                           bucket=bucket, seed=seed, n_keys=n, k=k)
+            return None
+        # NumPy fallback: rank keys within their home bucket
+        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        f = fp2_np(hi, lo)
+        b = mix_seeded_np(hi, lo, seed).astype(np.int64) & (n_buckets - 1)
+        order = np.argsort(b, kind="stable")
+        b_sorted = b[order]
+        uniq, start, cnt = np.unique(
+            b_sorted, return_index=True, return_counts=True)
+        if cnt.size and cnt.max() > bucket:
+            return None
+        rank = np.arange(n) - np.repeat(start, cnt)
+        pos = b_sorted * bucket + rank
+        fp[pos] = f[order]
+        val[pos] = values[order]
+        # in-bucket fingerprint uniqueness
+        fp2d = fp.reshape(n_buckets, bucket)
+        occ = val.reshape(n_buckets, bucket) >= 0
+        s = np.sort(np.where(occ, fp2d, np.uint32(0)), axis=1)
+        dup = (s[:, 1:] == s[:, :-1]) & (s[:, 1:] != 0)
+        if dup.any():
+            return None
+        return cls(fp=fp, val=val, n_buckets=n_buckets, bucket=bucket,
+                   seed=seed, n_keys=n, k=k)
+
+    @classmethod
     def build(cls, keys_u64: np.ndarray, k: int,
               values: np.ndarray | None = None, bucket: int = 16,
               load_factor: float = 0.25, max_seed_tries: int = 32) -> "FpTable":
@@ -299,51 +350,12 @@ class FpTable:
         n_buckets = 1
         while n_buckets * bucket * load_factor < max(n, 1):
             n_buckets *= 2
-        hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
-        lo = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        f = fp2_np(hi, lo)
-        from strainscan_tpu import native
-
-        lib = native.get_lib()
         while True:
             for seed in range(max_seed_tries):
-                cap = n_buckets * bucket
-                fp = np.zeros(cap, dtype=np.uint32)
-                val = np.full(cap, -1, dtype=np.int32)
-                if lib is not None and hasattr(lib, "table_build_fp"):
-                    import ctypes
-
-                    ok = lib.table_build_fp(
-                        keys_u64.ctypes.data_as(ctypes.c_void_p),
-                        values.ctypes.data_as(ctypes.c_void_p),
-                        n, n_buckets, bucket, np.uint32(seed),
-                        fp.ctypes.data_as(ctypes.c_void_p),
-                        val.ctypes.data_as(ctypes.c_void_p))
-                    if ok == 0:
-                        return cls(fp=fp, val=val, n_buckets=n_buckets,
-                                   bucket=bucket, seed=seed, n_keys=n, k=k)
-                    continue
-                # NumPy fallback: rank keys within their home bucket
-                b = mix_seeded_np(hi, lo, seed).astype(np.int64) & (n_buckets - 1)
-                order = np.argsort(b, kind="stable")
-                b_sorted = b[order]
-                uniq, start, cnt = np.unique(
-                    b_sorted, return_index=True, return_counts=True)
-                if cnt.size and cnt.max() > bucket:
-                    continue
-                rank = np.arange(n) - np.repeat(start, cnt)
-                pos = b_sorted * bucket + rank
-                fp[pos] = f[order]
-                val[pos] = values[order]
-                # in-bucket fingerprint uniqueness
-                fp2d = fp.reshape(n_buckets, bucket)
-                occ = val.reshape(n_buckets, bucket) >= 0
-                s = np.sort(np.where(occ, fp2d, np.uint32(0)), axis=1)
-                dup = (s[:, 1:] == s[:, :-1]) & (s[:, 1:] != 0)
-                if dup.any():
-                    continue
-                return cls(fp=fp, val=val, n_buckets=n_buckets, bucket=bucket,
-                           seed=seed, n_keys=n, k=k)
+                t = cls.build_attempt(keys_u64, k, values, n_buckets, bucket,
+                                      seed)
+                if t is not None:
+                    return t
             n_buckets *= 2
 
     @classmethod
@@ -456,3 +468,37 @@ def lookup_device(table, n_buckets: int, max_probe: int, hi, lo):
         found = jnp.max(jnp.where(hit, tval, -1), axis=1)
         out = jnp.where(out < 0, found, out)
     return out.reshape(shape)
+
+
+def build_fp_shards(chunks, k: int, values_chunks=None, bucket: int = 16,
+                    load_factor: float = 0.25, max_seed_tries: int = 32):
+    """Per-shard FpTables sharing ONE (n_buckets, bucket, seed) geometry.
+
+    The sharded count pipeline stacks the shards into a rectangular
+    [n_shards, n_buckets, bucket] device array and probes every shard with
+    the same statically-compiled hash — so the single-probe invariant must
+    hold for every shard at a COMMON seed.  Tries seeds over all shards
+    jointly, doubling n_buckets when none of ``max_seed_tries`` works
+    (at load factor <= 0.25 the joint failure probability is tiny).
+    """
+    chunks = [np.ascontiguousarray(c, dtype=np.uint64) for c in chunks]
+    if values_chunks is None:
+        values_chunks = [np.arange(c.shape[0], dtype=np.int32)
+                         for c in chunks]
+    values_chunks = [np.ascontiguousarray(v, dtype=np.int32)
+                     for v in values_chunks]
+    n_max = max((c.shape[0] for c in chunks), default=1)
+    n_buckets = 1
+    while n_buckets * bucket * load_factor < max(n_max, 1):
+        n_buckets *= 2
+    while True:
+        for seed in range(max_seed_tries):
+            tables = []
+            for c, v in zip(chunks, values_chunks):
+                t = FpTable.build_attempt(c, k, v, n_buckets, bucket, seed)
+                if t is None:
+                    break
+                tables.append(t)
+            if len(tables) == len(chunks):
+                return tables
+        n_buckets *= 2

@@ -31,7 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from strainscan_tpu.index.hashtable import BUCKET, KmerTable, lookup_device
+from strainscan_tpu.index.hashtable import (BUCKET, KmerTable,
+                                            build_fp_shards, lookup_device,
+                                            lookup_fp_device)
 from strainscan_tpu.kmer import device as kdev
 
 
@@ -141,89 +143,225 @@ def sharded_count(mesh: Mesh, st: ShardedTable, codes: jax.Array,
     return out.reshape(-1)
 
 
+@dataclasses.dataclass
+class ShardedFpTable:
+    """Rectangular stack of single-probe fingerprint shards (one common
+    (n_buckets, bucket, seed) geometry — see
+    ``hashtable.build_fp_shards``) plus the slot->id remap arrays.
+
+    This is the sharded twin of the single-chip FpTable hot path
+    (ops/count.py design, VERDICT round-1 item 3): ONE narrow row gather
+    per window, counts accumulated in slot space, remapped device-side."""
+
+    fp: np.ndarray        # uint32 [n_shards, n_buckets, bucket]
+    soi: np.ndarray       # int32  [n_shards, shard_cap] slot of local id
+    n_buckets: int
+    bucket: int
+    seed: int
+    shard_cap: int        # padded per-shard key capacity (id space stride)
+    n_keys: int
+    k: int
+    value_map: np.ndarray  # [n_shards*cap] -> caller ids (-1 = padding)
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_buckets * self.bucket
+
+    @classmethod
+    def build(cls, keys: np.ndarray, k: int, n_shards: int,
+              values: Optional[np.ndarray] = None) -> "ShardedFpTable":
+        n = keys.shape[0]
+        if values is None:
+            values = np.arange(n, dtype=np.int32)
+        order = np.argsort(keys, kind="stable")
+        keys_sorted = keys[order]
+        vals_sorted = values[order].astype(np.int32)
+        cap = -(-max(n, 1) // n_shards)
+        chunks = [keys_sorted[s * cap:(s + 1) * cap] for s in range(n_shards)]
+        tables = build_fp_shards(chunks, k=k)
+        value_map = np.full(n_shards * cap, -1, dtype=np.int32)
+        n_slots = tables[0].n_slots
+        soi = np.full((n_shards, cap), n_slots, dtype=np.int32)  # pad->trash
+        for s, t in enumerate(tables):
+            m = chunks[s].size
+            value_map[s * cap : s * cap + m] = vals_sorted[s * cap:(s + 1) * cap]
+            if m:
+                soi[s, :m] = t.slot_of_id()
+        return cls(fp=np.stack([t.fp.reshape(t.n_buckets, t.bucket)
+                                for t in tables]),
+                   soi=soi, n_buckets=tables[0].n_buckets,
+                   bucket=tables[0].bucket, seed=tables[0].seed,
+                   shard_cap=cap, n_keys=n, k=k, value_map=value_map)
+
+
 class ShardedCountPipeline:
-    """Multi-device drop-in for ops.count.CountPipeline: the hash table
-    lives sharded over the mesh's ``index`` axis, read batches stream over
-    ``data``, per-batch counts psum over ICI, and the running total stays
-    device-resident until ``finish()``.
+    """Multi-device drop-in for ops.count.CountPipeline with the SAME
+    single-chip optimizations (fingerprint single-gather probe, packed
+    2-bit transfer, fused Pallas probe-prep on TPU): the fingerprint
+    table lives sharded over the mesh's ``index`` axis, read batches
+    stream over ``data``, per-(data, index) partial totals stay
+    device-resident in slot space, and ONE psum over ICI at ``finish()``
+    merges the data axis — no per-batch collectives.
 
     ``finish()`` returns counts in the CALLER's k-mer id space (the
-    ``values`` passed to ``ShardedTable.build``), so it is interchangeable
-    with the single-device pipeline for any DB layout.
+    ``values`` passed to ``build``), so it is interchangeable with the
+    single-device pipeline for any DB layout.
     """
 
     def __init__(self, keys: np.ndarray, k: int,
                  mesh: Optional[Mesh] = None,
                  values: Optional[np.ndarray] = None,
-                 canonical: bool = False):
+                 canonical: bool = False,
+                 packed_transfer: bool = True,
+                 pallas: Optional[bool] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_index = self.mesh.shape["index"]
-        self.st = ShardedTable.build(keys, k=k, n_shards=n_index,
-                                     values=values)
+        self.st = ShardedFpTable.build(keys, k=k, n_shards=n_index,
+                                       values=values)
         self.canonical = canonical
+        self.packed_transfer = packed_transfer
+        if pallas is None:
+            pallas = jax.default_backend() not in ("cpu",)
+        self.pallas = bool(pallas)
         self._table_dev = None
         self._total = None
         self._fns = {}
-        self._pad_cache = None
+        self._fin = None
+        self._shape = None
 
     def _fn(self, shape):
         if shape not in self._fns:
             st, mesh = self.st, self.mesh
-            k, n_buckets, max_probe, cap = (st.k, st.n_buckets,
-                                            st.max_probe, st.shard_cap)
+            k, n_buckets, bucket, seed = (st.k, st.n_buckets, st.bucket,
+                                          st.seed)
+            trash = st.n_slots
             canonical = self.canonical
+            packed = self.packed_transfer
+            pallas = self.pallas
+            length = self._len  # codes row length (shape is pre-packing)
 
-            def local(codes_blk, table, total_blk):
+            def probe(codes_blk, fp_blk):
+                if pallas:
+                    from strainscan_tpu.ops.pallas_probe import (
+                        lookup_fp_from_prep, probe_prep)
+
+                    b_or_neg, fpv = probe_prep(codes_blk, k=k,
+                                               n_buckets=n_buckets,
+                                               seed=seed, canonical=canonical)
+                    return lookup_fp_from_prep(fp_blk, b_or_neg, fpv, bucket)
                 hi, lo, valid = kdev.extract_kmers(codes_blk, k)
                 if canonical:
                     hi, lo = kdev.canonical(hi, lo, k)
-                ids = lookup_device(table[0], n_buckets, max_probe, hi, lo)
-                ids = jnp.where(valid, ids, -1).reshape(-1)
-                safe = jnp.where(ids >= 0, ids, cap)
-                counts = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
-                    jnp.ones_like(safe, dtype=jnp.int32),
-                    mode="drop")[:cap]
-                counts = jax.lax.psum(counts, "data")
-                return total_blk + counts[None, :]
+                slots = lookup_fp_device(fp_blk, n_buckets, bucket, seed,
+                                         hi, lo)
+                return jnp.where(valid, slots, -1)
+
+            if packed:
+                def local(words, vbytes, fp_blk, total_blk):
+                    codes_blk = kdev.unpack_codes(words, vbytes, length)
+                    slots = probe(codes_blk, fp_blk[0]).reshape(-1)
+                    safe = jnp.where(slots >= 0, slots, trash)
+                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
+                    return total_blk.at[0, 0, safe].add(
+                        ones, mode="promise_in_bounds")
+
+                in_specs = (P("data", None), P("data", None),
+                            P("index", None, None),
+                            P("data", "index", None))
+                donate = (3,)
+            else:
+                def local(codes, fp_blk, total_blk):
+                    slots = probe(codes, fp_blk[0]).reshape(-1)
+                    safe = jnp.where(slots >= 0, slots, trash)
+                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
+                    return total_blk.at[0, 0, safe].add(
+                        ones, mode="promise_in_bounds")
+
+                in_specs = (P("data", None), P("index", None, None),
+                            P("data", "index", None))
+                donate = (2,)
 
             self._fns[shape] = jax.jit(
-                jax.shard_map(
-                    local, mesh=mesh,
-                    in_specs=(P("data", None), P("index", None, None),
-                              P("index", None)),
-                    out_specs=P("index", None),
-                ),
-                donate_argnums=(2,),
+                jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                              out_specs=P("data", "index", None)),
+                donate_argnums=donate,
             )
         return self._fns[shape]
 
-    def add_batch(self, codes: np.ndarray) -> None:
-        d = self.mesh.shape["data"]
-        n_index = self.mesh.shape["index"]
-        b = codes.shape[0]
-        if b % d:        # pad the read batch to the data-axis multiple
-            pad = d - b % d
-            codes = np.concatenate(
-                [codes, np.full((pad, codes.shape[1]), 4, codes.dtype)])
+    def _ensure_device_state(self):
         if self._table_dev is None:
             self._table_dev = jax.device_put(
-                self.st.table,
+                self.st.fp,
                 NamedSharding(self.mesh, P("index", None, None)))
         if self._total is None:
+            d = self.mesh.shape["data"]
+            n_index = self.mesh.shape["index"]
             self._total = jax.device_put(
-                np.zeros((n_index, self.st.shard_cap), np.int32),
-                NamedSharding(self.mesh, P("index", None)))
-        self._total = self._fn(codes.shape)(
-            codes, self._table_dev, self._total)
+                np.zeros((d, n_index, self.st.n_slots + 1), np.int32),
+                NamedSharding(self.mesh, P("data", "index", None)))
+
+    def add_batch(self, codes: np.ndarray) -> None:
+        d = self.mesh.shape["data"]
+        codes = np.asarray(codes)
+        if self._shape is None:
+            b = codes.shape[0]
+            b += (-b) % d
+            self._shape = (b, codes.shape[1])
+            self._len = codes.shape[1]
+        rows, cols = self._shape
+        if codes.shape[1] != cols:
+            raise ValueError(
+                f"batch maxlen changed: {codes.shape[1]} != {cols}")
+        if codes.shape[0] > rows:
+            for i in range(0, codes.shape[0], rows):
+                self.add_batch(codes[i : i + rows])
+            return
+        if codes.shape[0] < rows:  # pin one shape -> compile exactly once
+            pad = np.full((rows - codes.shape[0], cols), 4, dtype=codes.dtype)
+            codes = np.concatenate([codes, pad], axis=0)
+        self._ensure_device_state()
+        if self.packed_transfer:
+            from strainscan_tpu.kmer import pack
+
+            words, vbytes = pack.bitpack_codes(codes)
+            self._total = self._fn(codes.shape)(
+                jnp.asarray(words), jnp.asarray(vbytes),
+                self._table_dev, self._total)
+        else:
+            self._total = self._fn(codes.shape)(
+                jnp.asarray(codes), self._table_dev, self._total)
 
     def reset(self) -> None:
         self._total = None
 
+    def _finish_fn(self):
+        if self._fin is None:
+            cap = self.st.shard_cap
+
+            def fin(total_blk, soi_blk):
+                # [1, 1, S+1] per program -> psum over data -> id gather
+                t = jax.lax.psum(total_blk[0, 0], "data")
+                ids = t.at[soi_blk[0]].get(mode="promise_in_bounds")
+                return ids[None, :]
+
+            self._fin = jax.jit(jax.shard_map(
+                fin, mesh=self.mesh,
+                in_specs=(P("data", "index", None), P("index", None)),
+                out_specs=P("index", None),
+            ))
+        return self._fin
+
     def finish(self) -> np.ndarray:
+        """int64 [n_keys] counts in the caller's id space.  The data-axis
+        psum and the slot->id remap both run on device, so only
+        ``n_keys`` int32s cross the d2h link."""
         out = np.zeros(self.st.n_keys, dtype=np.int64)
         if self._total is None:
             return out
-        flat = np.asarray(jax.device_get(self._total)).reshape(-1)
+        soi_dev = jax.device_put(
+            self.st.soi, NamedSharding(self.mesh, P("index", None)))
+        per_id = self._finish_fn()(self._total, soi_dev)
+        flat = np.asarray(jax.device_get(per_id)).reshape(-1)
         vm = self.st.value_map
         valid = vm >= 0
         out[vm[valid]] = flat[valid]

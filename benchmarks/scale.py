@@ -100,6 +100,19 @@ def main():
         n += sim_reads(fam0[-1][1], args.depth / 2, 100, rng, out, n)
     print(f"sample: {n} reads", flush=True)
 
+    # warm the device<->host channel outside the timed region: on
+    # tunnel-attached TPUs the FIRST d2h fetch takes minutes and would
+    # otherwise dominate the identify wall time (see bench.py._warm_d2h)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        jax.device_get(jnp.ones((8,), jnp.int32))
+        print(f"d2h warm: {time.time() - t0:.0f}s", flush=True)
+    except Exception as e:
+        print(f"d2h warm failed: {e}", flush=True)
+
     t0 = time.time()
     res = run_identify(fq, "", db, os.path.join(tmp, "out"),
                        IdentifyConfig())

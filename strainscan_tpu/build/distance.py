@@ -57,6 +57,55 @@ def sketch_jaccard(a: np.ndarray, b: np.ndarray, s: int) -> float:
     return both.size / x.size
 
 
+_EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# above this genome count the O(n^2) per-pair bottom-k merges give way to
+# fixed-width one-permutation signatures compared as blocked array ops
+OPH_MIN_GENOMES = 64
+
+
+def genome_signature(path: str, k: int, m: int,
+                     use_native: bool = True) -> np.ndarray:
+    """One-permutation minhash signature: ``m`` buckets (power of two),
+    bucket j holds the minimum mix64 hash among the genome's canonical
+    k-mers landing in j (EMPTY if none).  E[mean(sig_a == sig_b)] is the
+    Jaccard index, and signatures compare as plain vectorized equality —
+    no per-pair set merges, so the all-vs-all matrix is O(n^2 m) array
+    work instead of 1.3M Python-level union1d calls at E. coli scale."""
+    km = fastx.genome_kmers(path, k, mode="canonical", unique=True,
+                            use_native=use_native)
+    h = mix64(km)
+    sig = np.full(m, _EMPTY64, dtype=np.uint64)
+    np.minimum.at(sig, (h & np.uint64(m - 1)).astype(np.int64), h)
+    return sig
+
+
+def signature_jaccard(sigs: np.ndarray, block: int = 256) -> np.ndarray:
+    """[n, n] Jaccard estimates from stacked signatures [n, m].
+
+    Blocked vectorized equality reduction (host NumPy — at 1647 genomes
+    x 4096 buckets this is ~20 G byte-compares, seconds of BLAS-free
+    array work; dispatching it to a remote-tunnel TPU costs more in
+    latency than it saves).  Empty buckets (tiny genomes): empty on one
+    side is a definite mismatch, both-empty buckets carry no signal and
+    drop from the denominator."""
+    n, m = sigs.shape
+    nonempty = sigs != _EMPTY64
+    out = np.zeros((n, n), dtype=np.float64)
+    for i in range(0, n, block):
+        a = sigs[i : i + block]
+        an = nonempty[i : i + block]
+        for j in range(0, n, block):
+            b = sigs[j : j + block]
+            bn = nonempty[j : j + block]
+            eq = ((a[:, None, :] == b[None, :, :])
+                  & an[:, None, :] & bn[None, :, :]).sum(-1)
+            info = (an[:, None, :] | bn[None, :, :]).sum(-1)
+            out[i : i + block, j : j + block] = np.where(
+                info > 0, eq / np.maximum(info, 1), 0.0)
+    return out
+
+
 def distance_matrix(
     genome_paths: Sequence[str],
     k: int = 31,
@@ -80,6 +129,16 @@ def distance_matrix(
                 union = sets[i].size + sets[j].size - inter
                 jac = inter / union if union else 0.0
                 dist[i, j] = dist[j, i] = 1.0 - jac
+    elif n > OPH_MIN_GENOMES:
+        m = max(int(sketch_size // 2), 1024)  # comparable variance
+        sigs = np.stack([
+            genome_signature(p, k, m, use_native=use_native)
+            for p in genome_paths
+        ])
+        jac = signature_jaccard(sigs)
+        dist = 1.0 - jac
+        np.fill_diagonal(dist, 0.0)
+        dist = np.clip((dist + dist.T) / 2.0, 0.0, 1.0)
     else:
         sketches = [
             genome_sketch(p, k, sketch_size, use_native=use_native)

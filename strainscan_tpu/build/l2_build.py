@@ -196,6 +196,17 @@ def build_overlap_matrices(
     cluster_ids = sorted(recls)
     n_cls = len(cluster_ids)
     cols: Dict[int, List[Tuple[int, np.ndarray]]] = {c.cid: [] for c in l2.values()}
+    # Global sorted index over every L2 cluster's k-mers: membership of
+    # all L2 k-mers in one cluster's genome union is then ONE
+    # searchsorted of the union (O(|union| log L)) instead of one per
+    # (cluster, L2-cluster) pair — the difference between minutes and
+    # hours at the E. coli scale (823 clusters x hundreds of L2 sets).
+    if not l2:
+        return
+    all_l2 = np.unique(np.concatenate([cl.kmers for cl in l2.values()])) \
+        if any(cl.kmers.size for cl in l2.values()) else np.empty(0, np.uint64)
+    idx_of = {cl.cid: np.searchsorted(all_l2, cl.kmers)
+              for cl in l2.values()}
     for ci, cid in enumerate(cluster_ids):
         members = recls[cid]
         if not members:
@@ -209,12 +220,14 @@ def build_overlap_matrices(
             for s in members
         ]))
         log(f"overlap: cluster {cid} union {union.size} k-mers")
+        hit = np.zeros(all_l2.size, dtype=bool)
+        if union.size and all_l2.size:
+            pos = np.searchsorted(all_l2, union)
+            inb = pos < all_l2.size
+            pos = pos[inb]
+            hit[pos[all_l2[pos] == union[inb]]] = True
         for cl in l2.values():
-            pos = np.searchsorted(union, cl.kmers)
-            pos = np.minimum(pos, max(union.size - 1, 0))
-            member = (union[pos] == cl.kmers) if union.size else \
-                np.zeros(cl.kmers.shape, bool)
-            rows = np.where(member)[0]
+            rows = np.where(hit[idx_of[cl.cid]])[0]
             cols[cl.cid].append((ci, rows))
     for cl in l2.values():
         r_parts, c_parts = [], []

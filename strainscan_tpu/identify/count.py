@@ -53,14 +53,27 @@ def count_sample(
     # vectors merge once over DCN (SURVEY §2.3 TPU-native scale-out).
     from strainscan_tpu.parallel import distributed as dist
 
+    from strainscan_tpu.utils.prefetch import prefetch_iter
+
     pidx, pcount = dist.process_info()
-    for bi, batch in enumerate(fastx.read_batches(
+    batches = fastx.read_batches(
         fq_paths, batch=cfg.read_batch, maxlen=cfg.max_read_len,
-        k=table.k, use_native=use_native,
-    )):
-        if bi % pcount != pidx:
-            continue
-        pipe.add_batch(batch)
+        k=table.k, use_native=use_native)
+    if hasattr(pipe, "prepare_batch"):
+        # parse + pack in the producer thread, dispatch on the main thread
+        def produce():
+            for bi, batch in enumerate(batches):
+                if bi % pcount != pidx:
+                    continue
+                yield pipe.prepare_batch(batch)
+
+        for payloads in prefetch_iter(produce()):
+            pipe.add_prepared(payloads)
+    else:
+        for bi, batch in enumerate(prefetch_iter(batches)):
+            if bi % pcount != pidx:
+                continue
+            pipe.add_batch(batch)
     counts = pipe.finish()
     if pcount > 1:
         counts = np.asarray(dist.merge_counts(counts))

@@ -75,6 +75,19 @@ def unpack_codes(words: jax.Array, vbytes: jax.Array, length: int):
     return jnp.where(valid > 0, codes, _u32(4))
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def unpack_codes_vlen(words: jax.Array, vlen: jax.Array, length: int):
+    """unpack_codes for prefix-run validity: ``vlen`` uint16 [B] valid
+    prefix lengths (pack.valid_prefix_lens) — 2 bytes/row shipped instead
+    of ceil(L/8) validity bytes."""
+    b, w = words.shape
+    parts = [((words >> (2 * j)) & _u32(3)) for j in range(16)]
+    codes = jnp.stack(parts, axis=-1).reshape(b, w * 16)[:, :length]
+    valid = (jnp.arange(length, dtype=jnp.int32)[None, :]
+             < vlen.astype(jnp.int32)[:, None])
+    return jnp.where(valid, codes, _u32(4))
+
+
 def _rev2(x):
     """Reverse the sixteen 2-bit groups of a uint32 lane."""
     m2 = _u32(0x33333333)

@@ -115,7 +115,7 @@ def join_u32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
 
 
-def bitpack_codes(codes: np.ndarray):
+def bitpack_codes(codes: np.ndarray, need_vbytes: bool = True):
     """Pack encoded reads for transfer: 2 bits/base + 1 validity bit.
 
     ``codes`` [B, L] uint8 (0..3 bases, >=4 invalid/pad) becomes
@@ -146,12 +146,32 @@ def bitpack_codes(codes: np.ndarray):
     words = np.zeros((b, w), dtype=np.uint32)
     for j in range(16):
         words |= cp[:, j::16] << np.uint32(2 * j)
+    if not need_vbytes:
+        return words, None
     vp = np.zeros((b, vb * 8), dtype=np.uint8)
     vp[:, :length] = (codes < 4).astype(np.uint8)
     vbytes = np.zeros((b, vb), dtype=np.uint8)
     for j in range(8):
         vbytes |= vp[:, j::8] << np.uint8(j)
     return words, vbytes
+
+
+def valid_prefix_lens(codes: np.ndarray):
+    """uint16 [B] valid-prefix lengths, or None if any row's validity is
+    not a contiguous prefix (an N mid-read).
+
+    Reads are padded to the batch maxlen with invalid code 4 and rarely
+    contain Ns, so validity is almost always a prefix run — describable
+    in 2 bytes/row instead of ceil(L/8) vbytes (~27% less h2d traffic on
+    tunneled/PCIe TPUs for 150 bp reads)."""
+    valid = codes < 4
+    lens = valid.sum(axis=1).astype(np.uint16)
+    length = codes.shape[1]
+    if not np.array_equal(
+            valid, np.arange(length, dtype=np.int64)[None, :]
+            < lens[:, None].astype(np.int64)):
+        return None
+    return lens
 
 
 def seq_kmer_set(

@@ -146,6 +146,34 @@ def count_batch_fp_packed(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("length", "k", "n_buckets", "bucket", "seed",
+                     "canonical", "pallas"),
+    donate_argnames=("counts",),
+)
+def count_batch_fp_packed_vlen(
+    counts: jax.Array,
+    words: jax.Array,
+    vlen: jax.Array,
+    fp_table: jax.Array,
+    *,
+    length: int,
+    k: int,
+    n_buckets: int,
+    bucket: int,
+    seed: int,
+    canonical: bool,
+    pallas: bool = False,
+) -> jax.Array:
+    """Prefix-run validity variant: ships 2 bytes/row of validity instead
+    of ceil(L/8) (pack.valid_prefix_lens) — h2d is the serial stage on
+    tunneled TPUs, so ~27%% fewer bytes is direct wall-clock."""
+    codes = kdev.unpack_codes_vlen(words, vlen, length)
+    return _count_core_fp(counts, codes, fp_table, k, n_buckets, bucket,
+                          seed, canonical, pallas)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("length", "k", "n_buckets", "max_probe", "n_kmers",
                      "canonical"),
     donate_argnames=("counts",),
@@ -213,6 +241,80 @@ class CountPipeline:
             self.counts = jnp.zeros((table.n_keys,), dtype=jnp.int32)
         self._shape: Optional[tuple] = None
 
+    def prepare_batch(self, codes: np.ndarray):
+        """Host-side half of add_batch: shape pinning, padding, packing.
+
+        Returns a list of dispatch payloads for :meth:`add_prepared`.
+        Safe to run in a producer thread (only the producer may call it —
+        it owns the batch-shape state), so parse+pack overlap with device
+        compute (utils/prefetch.py)."""
+        out = []
+        codes = np.asarray(codes)
+        if self._shape is None:
+            self._shape = codes.shape
+        rows, cols = self._shape
+        if codes.shape[1] != cols:
+            raise ValueError(f"batch maxlen changed: {codes.shape[1]} != {cols}")
+        if codes.shape[0] > rows:
+            for i in range(0, codes.shape[0], rows):
+                out.extend(self.prepare_batch(codes[i : i + rows]))
+            return out
+        if codes.shape[0] < rows:
+            pad = np.full((rows - codes.shape[0], cols), 4, dtype=np.uint8)
+            codes = np.concatenate([codes, pad], axis=0)
+        if self.packed_transfer:
+            from strainscan_tpu.kmer import pack
+
+            vlen = pack.valid_prefix_lens(codes) if self.fpt is not None \
+                else None
+            if vlen is not None:
+                words, _ = pack.bitpack_codes(codes, need_vbytes=False)
+                out.append(("vlen", words, vlen))
+            else:
+                words, vbytes = pack.bitpack_codes(codes)
+                out.append(("vbytes", words, vbytes))
+        else:
+            out.append(("codes", codes, None))
+        return out
+
+    def add_prepared(self, payloads) -> None:
+        """Dispatch payloads from :meth:`prepare_batch` (main thread)."""
+        rows, cols = self._shape
+        for form, a, b in payloads:
+            if form == "vlen":
+                self.counts = count_batch_fp_packed_vlen(
+                    self.counts, jnp.asarray(a), jnp.asarray(b),
+                    self.dev_table, length=cols, k=self.table.k,
+                    n_buckets=self.fpt.n_buckets, bucket=self.fpt.bucket,
+                    seed=self.fpt.seed, canonical=self.canonical,
+                    pallas=self.pallas)
+            elif form == "vbytes" and self.fpt is not None:
+                self.counts = count_batch_fp_packed(
+                    self.counts, jnp.asarray(a), jnp.asarray(b),
+                    self.dev_table, length=cols, k=self.table.k,
+                    n_buckets=self.fpt.n_buckets, bucket=self.fpt.bucket,
+                    seed=self.fpt.seed, canonical=self.canonical,
+                    pallas=self.pallas)
+            elif form == "vbytes":
+                self.counts = count_batch_packed(
+                    self.counts, jnp.asarray(a), jnp.asarray(b),
+                    self.dev_table, length=cols, k=self.table.k,
+                    n_buckets=self.table.n_buckets,
+                    max_probe=self.table.max_probe,
+                    n_kmers=self.table.n_keys, canonical=self.canonical)
+            elif self.fpt is not None:
+                self.counts = count_batch_fp(
+                    self.counts, jnp.asarray(a), self.dev_table,
+                    k=self.table.k, n_buckets=self.fpt.n_buckets,
+                    bucket=self.fpt.bucket, seed=self.fpt.seed,
+                    canonical=self.canonical, pallas=self.pallas)
+            else:
+                self.counts = count_batch(
+                    self.counts, jnp.asarray(a), self.dev_table,
+                    k=self.table.k, n_buckets=self.table.n_buckets,
+                    max_probe=self.table.max_probe,
+                    n_kmers=self.table.n_keys, canonical=self.canonical)
+
     def add_batch(self, codes: np.ndarray) -> None:
         """codes: uint8 [B, L] encoded reads (0..3 bases, >=4 pad/N).
 
@@ -221,72 +323,7 @@ class CountPipeline:
         recompiling per partial final batch is expensive, especially under
         remote-compile TPU setups.
         """
-        if self._shape is None:
-            self._shape = codes.shape
-        rows, cols = self._shape
-        if codes.shape[1] != cols:
-            raise ValueError(f"batch maxlen changed: {codes.shape[1]} != {cols}")
-        if codes.shape[0] > rows:
-            for i in range(0, codes.shape[0], rows):
-                self.add_batch(codes[i : i + rows])
-            return
-        if codes.shape[0] < rows:
-            pad = np.full((rows - codes.shape[0], cols), 4, dtype=np.uint8)
-            codes = np.concatenate([np.asarray(codes), pad], axis=0)
-        if self.packed_transfer:
-            from strainscan_tpu.kmer import pack
-
-            words, vbytes = pack.bitpack_codes(np.asarray(codes))
-            if self.fpt is not None:
-                self.counts = count_batch_fp_packed(
-                    self.counts,
-                    jnp.asarray(words),
-                    jnp.asarray(vbytes),
-                    self.dev_table,
-                    length=cols,
-                    k=self.table.k,
-                    n_buckets=self.fpt.n_buckets,
-                    bucket=self.fpt.bucket,
-                    seed=self.fpt.seed,
-                    canonical=self.canonical,
-                    pallas=self.pallas,
-                )
-            else:
-                self.counts = count_batch_packed(
-                    self.counts,
-                    jnp.asarray(words),
-                    jnp.asarray(vbytes),
-                    self.dev_table,
-                    length=cols,
-                    k=self.table.k,
-                    n_buckets=self.table.n_buckets,
-                    max_probe=self.table.max_probe,
-                    n_kmers=self.table.n_keys,
-                    canonical=self.canonical,
-                )
-        elif self.fpt is not None:
-            self.counts = count_batch_fp(
-                self.counts,
-                jnp.asarray(codes),
-                self.dev_table,
-                k=self.table.k,
-                n_buckets=self.fpt.n_buckets,
-                bucket=self.fpt.bucket,
-                seed=self.fpt.seed,
-                canonical=self.canonical,
-                pallas=self.pallas,
-            )
-        else:
-            self.counts = count_batch(
-                self.counts,
-                jnp.asarray(codes),
-                self.dev_table,
-                k=self.table.k,
-                n_buckets=self.table.n_buckets,
-                max_probe=self.table.max_probe,
-                n_kmers=self.table.n_keys,
-                canonical=self.canonical,
-            )
+        self.add_prepared(self.prepare_batch(codes))
 
     def reset(self) -> None:
         """Zero the accumulator without re-uploading the table."""

@@ -229,8 +229,9 @@ class ShardedCountPipeline:
         self._fin = None
         self._shape = None
 
-    def _fn(self, shape):
-        if shape not in self._fns:
+    def _fn(self, shape, form="codes"):
+        key = (shape, form)
+        if key not in self._fns:
             st, mesh = self.st, self.mesh
             k, n_buckets, bucket, seed = (st.k, st.n_buckets, st.bucket,
                                           st.seed)
@@ -256,7 +257,20 @@ class ShardedCountPipeline:
                                          hi, lo)
                 return jnp.where(valid, slots, -1)
 
-            if packed:
+            if form == "vlen":
+                def local(words, vlen, fp_blk, total_blk):
+                    codes_blk = kdev.unpack_codes_vlen(words, vlen, length)
+                    slots = probe(codes_blk, fp_blk[0]).reshape(-1)
+                    safe = jnp.where(slots >= 0, slots, trash)
+                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
+                    return total_blk.at[0, 0, safe].add(
+                        ones, mode="promise_in_bounds")
+
+                in_specs = (P("data", None), P("data"),
+                            P("index", None, None),
+                            P("data", "index", None))
+                donate = (3,)
+            elif packed:
                 def local(words, vbytes, fp_blk, total_blk):
                     codes_blk = kdev.unpack_codes(words, vbytes, length)
                     slots = probe(codes_blk, fp_blk[0]).reshape(-1)
@@ -281,12 +295,12 @@ class ShardedCountPipeline:
                             P("data", "index", None))
                 donate = (2,)
 
-            self._fns[shape] = jax.jit(
+            self._fns[key] = jax.jit(
                 jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                               out_specs=P("data", "index", None)),
                 donate_argnums=donate,
             )
-        return self._fns[shape]
+        return self._fns[key]
 
     def _ensure_device_state(self):
         if self._table_dev is None:
@@ -323,10 +337,16 @@ class ShardedCountPipeline:
         if self.packed_transfer:
             from strainscan_tpu.kmer import pack
 
+            vlen = pack.valid_prefix_lens(codes)
             words, vbytes = pack.bitpack_codes(codes)
-            self._total = self._fn(codes.shape)(
-                jnp.asarray(words), jnp.asarray(vbytes),
-                self._table_dev, self._total)
+            if vlen is not None:
+                self._total = self._fn(codes.shape, "vlen")(
+                    jnp.asarray(words), jnp.asarray(vlen),
+                    self._table_dev, self._total)
+            else:
+                self._total = self._fn(codes.shape, "vbytes")(
+                    jnp.asarray(words), jnp.asarray(vbytes),
+                    self._table_dev, self._total)
         else:
             self._total = self._fn(codes.shape)(
                 jnp.asarray(codes), self._table_dev, self._total)

@@ -97,3 +97,67 @@ def test_split_join_u32():
     x = RNG.integers(0, 2**62, size=100, dtype=np.uint64)
     hi, lo = pack.split_u64(x)
     assert np.array_equal(pack.join_u32(hi, lo), x)
+
+
+def test_valid_prefix_lens():
+    from strainscan_tpu.kmer import pack
+
+    # prefix-run validity (padded reads, no N): lens returned
+    codes = np.full((3, 10), 4, dtype=np.uint8)
+    codes[0, :7] = 1
+    codes[1, :10] = 2
+    codes[2, :0] = 0
+    lens = pack.valid_prefix_lens(codes)
+    assert lens is not None and lens.tolist() == [7, 10, 0]
+    # an N mid-read breaks the prefix form -> None (vbytes fallback)
+    codes[0, 3] = 4
+    assert pack.valid_prefix_lens(codes) is None
+
+
+def test_vlen_and_vbytes_pipelines_agree():
+    """A batch with a mid-read N must take the vbytes path and count
+    identically to the same reads with the N zone excluded."""
+    import jax.numpy as jnp
+
+    from strainscan_tpu.index.hashtable import KmerTable
+    from strainscan_tpu.kmer import pack
+    from strainscan_tpu.ops.count import CountPipeline
+
+    rng = np.random.default_rng(8)
+    genome = rng.integers(0, 4, size=5000).astype(np.uint8)
+    km, _ = pack.pack_kmers(genome, 31)
+    db = np.unique(km)
+    t = KmerTable.build(db, k=31)
+
+    codes = np.full((64, 80), 4, dtype=np.uint8)
+    for i in range(64):
+        p = int(rng.integers(0, genome.size - 72))
+        codes[i, :72] = genome[p : p + 72]
+    dirty = codes.copy()
+    dirty[5, 40] = 4  # N mid-read -> prefix form impossible
+    assert pack.valid_prefix_lens(codes) is not None
+    assert pack.valid_prefix_lens(dirty) is None
+
+    def run(c):
+        p = CountPipeline(t)
+        p.add_batch(c)
+        return p.finish()
+
+    clean = run(codes)
+    got = run(dirty)
+    # oracle for the dirty batch: NumPy window count with the N masked
+    exp = np.zeros(db.size, np.int64)
+    for i in range(64):
+        row = dirty[i]
+        for j in range(80 - 31 + 1):
+            w = row[j : j + 31]
+            if (w >= 4).any():
+                continue
+            v = 0
+            for c in w:
+                v = (v << 2) | int(c)
+            idx = np.searchsorted(db, np.uint64(v))
+            if idx < db.size and db[idx] == np.uint64(v):
+                exp[idx] += 1
+    assert np.array_equal(got, exp)
+    assert got.sum() < clean.sum()

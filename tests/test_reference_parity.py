@@ -227,6 +227,87 @@ def test_strain_prob_report(dbs):
                           os.path.join(ref, "final_report.txt"))
 
 
+def test_outlier_depth_sample(dbs):
+    """A 60x repeated segment on top of 5x genome coverage drives counts
+    through the reference's outlier culls (del_outlier 100x-median,
+    identify.py:106-112, and the 1000x-median L2 ceiling,
+    Vote_Strain_L2_Lasso_new_sp.py:404-414) — previously unexercised
+    (round-1 weak #6)."""
+    d, strains, db, refdb, _, _ = dbs
+    fq = os.path.join(d, "outlier.fq")
+    seg = strains["A1"][:3000]
+    _write_fq(fq, _sim_reads(strains["A1"], 5) + _sim_reads(seg, 60))
+    ours, ref = _run_pair(d, "outlier", fq, db, refdb)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+
+
+@pytest.fixture(scope="module")
+def shared_dbs(tmp_path_factory):
+    """Two 2-strain clusters that SHARE a segment held by one strain of
+    each: the shared k-mers are strain-unique within each cluster, so
+    they land in both L2 matrices AND in each other's overlap-matrix
+    column — driving the py_u cross-cluster masking
+    (identify_strains...sp.py:191-205), dead on disjoint fixtures."""
+    d = tmp_path_factory.mktemp("parity_shared")
+    gdir = d / "genomes"
+    gdir.mkdir()
+    # S rides in ONE strain per cluster; the S-carrier chains into its
+    # cluster through the superset relation (d(A1, A2) = |S|/(|base|+|S|)
+    # ~ 0.04 < 0.05 single-linkage cutoff), while the clusters stay
+    # ~0.98 apart
+    S = _rand_genome(4_000)
+    base_a = _rand_genome(100_000)
+    base_b = _rand_genome(100_000)
+    strains = {
+        "A1": base_a + S,
+        "A2": base_a,
+        "A3": _mutate(base_a, 60),
+        "B1": base_b + S,
+        "B2": base_b,
+        "B3": _mutate(base_b, 60),
+    }
+    for name, seq in strains.items():
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{seq}\n")
+    db = str(d / "DB")
+    build_database(str(gdir), db, BuildConfig())
+    refdb = str(d / "REFDB")
+    export_reference_db(db, refdb)
+    return str(d), strains, db, refdb
+
+
+def test_cross_cluster_overlap_masking(shared_dbs):
+    """Mixture of A1 + B1 (the two S-carrying strains): both clusters
+    detect, and detect_strains must mask S's counts via the overlap
+    matrix (py_u) when scanning each cluster.  Byte-compared against the
+    reference on the exported DB."""
+    d, strains, db, refdb = shared_dbs
+    import json
+
+    man = json.load(open(os.path.join(db, "manifest.json")))
+    assert man["n_clusters"] == 2, "fixture must form exactly 2 clusters"
+    fq = os.path.join(d, "sharedmix.fq")
+    _write_fq(fq, _sim_reads(strains["A1"], 8) + _sim_reads(strains["B1"], 8))
+    ours, ref = _run_pair(d, "sharedmix", fq, db, refdb)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+    names = {r["Strain_Name"]
+             for r in parse_report(os.path.join(ref, "final_report.txt"))}
+    assert names == {"A1", "B1"}
+    # the masking path must actually be active: S's k-mers appear in both
+    # clusters' overlap matrices
+    from strainscan_tpu.build.db import load_l2_db, load_manifest
+
+    cids = load_manifest(db)["cluster_ids"]
+    active = 0
+    for cid in cids:
+        cl = load_l2_db(db, int(cid))
+        if cl is not None and cl.overlap[:, :].sum() > cl.matrix.shape[0]:
+            active += 1
+    assert active >= 1, "overlap matrices carry no cross-cluster k-mers"
+
+
 def test_memory_efficient_db(dbs):
     d, strains, _, _, mdb, mrefdb = dbs
     fq = os.path.join(d, "memmix.fq")

@@ -37,9 +37,11 @@ def synth(gdir: str, families: int, variants: int, glen: int, rng):
             first_family = []
         for v in range(variants if f % 2 == 0 else 1):
             s = np.array(list(base))
-            # >= 60 SNPs apart so variants clear the msn=40 minimum-SNV
-            # separability gate (identify_strains...sp.py:350-371)
-            n_snps = 60 * (v + 1)
+            # 30 SNPs per variant step: far enough apart for the msn=40
+            # L2 separability gate (30 x ~62 affected k-mers > 40*31),
+            # close enough (d ~ 0.02-0.04 < 0.05) that variants form one
+            # multi-strain cluster like real strain families
+            n_snps = 30 * (v + 1)
             if v:
                 for p in rng.choice(glen, size=n_snps, replace=False):
                     s[p] = rng.choice([b for b in bases if b != s[p]])

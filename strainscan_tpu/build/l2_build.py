@@ -192,6 +192,13 @@ def build_overlap_matrices(
     when the k-mer occurs in any genome of cluster ``c`` (both
     orientations).  Column order follows ascending cluster id; identify
     selects columns by detected-cluster ids (identify_strains...sp.py:180-196).
+
+    Memory profile subsumes the reference's low-RAM jellyfish variant
+    (Build_overlap_matrix_sp_jellyfish.py:126-143, which exists because
+    the all-genome k-mer dict blows RAM at E. coli scale): resident state
+    here is ONE cluster's k-mer union at a time plus the global sorted
+    L2 k-mer index (flat uint64, ~100s of MB at 1400-strain scale), never
+    an all-genome map.
     """
     cluster_ids = sorted(recls)
     n_cls = len(cluster_ids)

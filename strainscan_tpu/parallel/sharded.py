@@ -221,6 +221,10 @@ class ShardedCountPipeline:
         self.canonical = canonical
         self.packed_transfer = packed_transfer
         if pallas is None:
+            # fused Pallas VPU stage on real TPUs (the jnp probe-prep
+            # composition costs ~170 ms/batch vs 2.8 ms for the kernel);
+            # requires check_vma=False on the shard_map — pallas_call's
+            # ShapeDtypeStruct carries no vma annotation on current JAX
             pallas = jax.default_backend() not in ("cpu",)
         self.pallas = bool(pallas)
         self._table_dev = None
@@ -263,8 +267,11 @@ class ShardedCountPipeline:
                     slots = probe(codes_blk, fp_blk[0]).reshape(-1)
                     safe = jnp.where(slots >= 0, slots, trash)
                     ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    return total_blk.at[0, 0, safe].add(
+                    # flatten: the 1-D scatter lowers to the same program
+                    # as the single-chip path; at[0, 0, safe] does not
+                    t = total_blk.reshape(-1).at[safe].add(
                         ones, mode="promise_in_bounds")
+                    return t.reshape(total_blk.shape)
 
                 in_specs = (P("data", None), P("data"),
                             P("index", None, None),
@@ -276,8 +283,11 @@ class ShardedCountPipeline:
                     slots = probe(codes_blk, fp_blk[0]).reshape(-1)
                     safe = jnp.where(slots >= 0, slots, trash)
                     ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    return total_blk.at[0, 0, safe].add(
+                    # flatten: the 1-D scatter lowers to the same program
+                    # as the single-chip path; at[0, 0, safe] does not
+                    t = total_blk.reshape(-1).at[safe].add(
                         ones, mode="promise_in_bounds")
+                    return t.reshape(total_blk.shape)
 
                 in_specs = (P("data", None), P("data", None),
                             P("index", None, None),
@@ -288,8 +298,11 @@ class ShardedCountPipeline:
                     slots = probe(codes, fp_blk[0]).reshape(-1)
                     safe = jnp.where(slots >= 0, slots, trash)
                     ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    return total_blk.at[0, 0, safe].add(
+                    # flatten: the 1-D scatter lowers to the same program
+                    # as the single-chip path; at[0, 0, safe] does not
+                    t = total_blk.reshape(-1).at[safe].add(
                         ones, mode="promise_in_bounds")
+                    return t.reshape(total_blk.shape)
 
                 in_specs = (P("data", None), P("index", None, None),
                             P("data", "index", None))
@@ -297,7 +310,8 @@ class ShardedCountPipeline:
 
             self._fns[key] = jax.jit(
                 jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                              out_specs=P("data", "index", None)),
+                              out_specs=P("data", "index", None),
+                              check_vma=not pallas),
                 donate_argnums=donate,
             )
         return self._fns[key]
@@ -334,22 +348,30 @@ class ShardedCountPipeline:
             pad = np.full((rows - codes.shape[0], cols), 4, dtype=codes.dtype)
             codes = np.concatenate([codes, pad], axis=0)
         self._ensure_device_state()
+        # h2d with the target sharding up front: a plain jnp.asarray lands
+        # replicated on device 0 and the jit inserts a reshard copy (and
+        # on a pod would bounce every byte through one chip)
+        put_rows = lambda x: jax.device_put(
+            x, NamedSharding(self.mesh, P("data", None)))
         if self.packed_transfer:
             from strainscan_tpu.kmer import pack
 
             vlen = pack.valid_prefix_lens(codes)
-            words, vbytes = pack.bitpack_codes(codes)
             if vlen is not None:
+                words, _ = pack.bitpack_codes(codes, need_vbytes=False)
                 self._total = self._fn(codes.shape, "vlen")(
-                    jnp.asarray(words), jnp.asarray(vlen),
+                    put_rows(words),
+                    jax.device_put(vlen, NamedSharding(self.mesh,
+                                                       P("data"))),
                     self._table_dev, self._total)
             else:
+                words, vbytes = pack.bitpack_codes(codes)
                 self._total = self._fn(codes.shape, "vbytes")(
-                    jnp.asarray(words), jnp.asarray(vbytes),
+                    put_rows(words), put_rows(vbytes),
                     self._table_dev, self._total)
         else:
             self._total = self._fn(codes.shape)(
-                jnp.asarray(codes), self._table_dev, self._total)
+                put_rows(codes), self._table_dev, self._total)
 
     def reset(self) -> None:
         self._total = None

@@ -200,6 +200,34 @@ def test_low_depth_ladder(dbs):
                           os.path.join(ref, "final_report.txt"))
 
 
+def test_super_low_depth_ladder(dbs):
+    """-l 2 cutoff triple [0.005, 0.01, 1] (StrainScan.py:211-217).
+
+    0.6x, not lower: below ~0.3x the REFERENCE crashes (IndexError —
+    get_avg_depth percentile over an empty array when no k-mer reaches
+    count 2, identify_strains...sp.py:110-120); our _avg_depth guards
+    that case, so there is nothing to byte-compare against down there."""
+    d, strains, db, refdb, _, _ = dbs
+    fq = os.path.join(d, "ldep2.fq")
+    _write_fq(fq, _sim_reads(strains["A1"], 0.6))
+    ours, ref = _run_pair(d, "ldep2", fq, db, refdb,
+                          cfg=IdentifyConfig(low_dep=2), ref_args=["-l", "2"])
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+
+
+def test_retry_ladder(dbs):
+    """A ~0.4x sample fails the primary [0.1, 0.4, 1] cutoffs, and the
+    retry [0.05, 0.05, 1] (which also sets l2=1) must fire identically
+    (StrainScan.py:194-204)."""
+    d, strains, db, refdb, _, _ = dbs
+    fq = os.path.join(d, "retry.fq")
+    _write_fq(fq, _sim_reads(strains["B1"], 0.45))
+    ours, ref = _run_pair(d, "retry", fq, db, refdb)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+
+
 def test_pe_gzip_input(dbs):
     d, strains, db, refdb, _, _ = dbs
     reads = _sim_reads(strains["A1"], 6)

@@ -310,6 +310,31 @@ def export_reference_db(db_dir: str, out_dir: str) -> None:
             if nid in db.gcf:
                 f.write(db.gcf[nid])
             f.write("\n")
+    if len(bfs) == 1:
+        # single-cluster DB: the reference reader loads tree.pkl when
+        # tree_structure.txt has one line (identify.py:19-21).  Pickle a
+        # Tree via the treelib shim (tools/refcompat) — the class paths
+        # (treelib.tree/treelib.node) match real treelib, so either
+        # unpickles it.
+        try:
+            try:
+                import treelib
+            except ImportError:
+                import sys
+
+                repo_root = os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+                sys.path.insert(0, os.path.join(repo_root, "tools",
+                                                "refcompat"))
+                import treelib
+            t = treelib.Tree()
+            t.create_node(identifier=int(db.tree.root),
+                          data=[-1, -1, -1, -1, -1])
+            with open(os.path.join(tdir, "tree.pkl"), "wb") as f:
+                pickle.dump(t, f, pickle.HIGHEST_PROTOCOL)
+        except Exception as e:  # pragma: no cover - best effort
+            log.warning("tree.pkl not written (%s); single-cluster DBs "
+                        "need it for the reference reader", e)
     write_cls_map(os.path.join(tdir, "hclsMap_95_recls.txt"), db.recls)
     with open(os.path.join(tdir, "node_length.txt"), "w") as f:
         for nid in order:

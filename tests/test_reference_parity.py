@@ -336,6 +336,34 @@ def test_cross_cluster_overlap_masking(shared_dbs):
     assert active >= 1, "overlap matrices carry no cross-cluster k-mers"
 
 
+def test_single_cluster_db(tmp_path):
+    """Degenerate DB: 2 similar strains -> ONE cluster -> single-node
+    tree.  The reference reader ignores the one-line tree_structure.txt
+    and unpickles tree.pkl (identify.py:19-21), which export now writes
+    via the treelib shim."""
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    base = _rand_genome(GLEN)
+    strains = {"S1": base, "S2": _mutate(base, 60)}
+    for name, seq in strains.items():
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{seq}\n")
+    db = str(tmp_path / "DB")
+    build_database(str(gdir), db, BuildConfig())
+    import json
+
+    man = json.load(open(os.path.join(db, "manifest.json")))
+    assert man["n_clusters"] == 1
+    refdb = str(tmp_path / "REFDB")
+    export_reference_db(db, refdb)
+    assert os.path.exists(os.path.join(refdb, "Tree_database", "tree.pkl"))
+    fq = os.path.join(str(tmp_path), "s1.fq")
+    _write_fq(fq, _sim_reads(strains["S1"], 8))
+    ours, ref = _run_pair(str(tmp_path), "single_cls", fq, db, refdb)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+
+
 def test_memory_efficient_db(dbs):
     d, strains, _, _, mdb, mrefdb = dbs
     fq = os.path.join(d, "memmix.fq")

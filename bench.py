@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GENOME_LEN = 1_000_000
-N_READS = 600_000
+N_READS = 1_200_000
 READ_LEN = 150
 K = 31
 BATCH = 65536

@@ -328,7 +328,14 @@ class ShardedCountPipeline:
                 np.zeros((d, n_index, self.st.n_slots + 1), np.int32),
                 NamedSharding(self.mesh, P("data", "index", None)))
 
-    def add_batch(self, codes: np.ndarray) -> None:
+    def prepare_batch(self, codes: np.ndarray):
+        """Host-side half of add_batch: shape pinning, padding, packing.
+
+        Mirrors ``CountPipeline.prepare_batch`` so ``count_sample``'s
+        producer thread overlaps parse+pack with device dispatch (the
+        same split that closed the round-1 single-chip gap).  Only the
+        producer may call it — it owns the batch-shape state."""
+        out = []
         d = self.mesh.shape["data"]
         codes = np.asarray(codes)
         if self._shape is None:
@@ -342,36 +349,50 @@ class ShardedCountPipeline:
                 f"batch maxlen changed: {codes.shape[1]} != {cols}")
         if codes.shape[0] > rows:
             for i in range(0, codes.shape[0], rows):
-                self.add_batch(codes[i : i + rows])
-            return
+                out.extend(self.prepare_batch(codes[i : i + rows]))
+            return out
         if codes.shape[0] < rows:  # pin one shape -> compile exactly once
             pad = np.full((rows - codes.shape[0], cols), 4, dtype=codes.dtype)
             codes = np.concatenate([codes, pad], axis=0)
-        self._ensure_device_state()
-        # h2d with the target sharding up front: a plain jnp.asarray lands
-        # replicated on device 0 and the jit inserts a reshard copy (and
-        # on a pod would bounce every byte through one chip)
-        put_rows = lambda x: jax.device_put(
-            x, NamedSharding(self.mesh, P("data", None)))
         if self.packed_transfer:
             from strainscan_tpu.kmer import pack
 
             vlen = pack.valid_prefix_lens(codes)
             if vlen is not None:
                 words, _ = pack.bitpack_codes(codes, need_vbytes=False)
-                self._total = self._fn(codes.shape, "vlen")(
-                    put_rows(words),
-                    jax.device_put(vlen, NamedSharding(self.mesh,
-                                                       P("data"))),
-                    self._table_dev, self._total)
+                out.append(("vlen", codes.shape, words, vlen))
             else:
                 words, vbytes = pack.bitpack_codes(codes)
-                self._total = self._fn(codes.shape, "vbytes")(
-                    put_rows(words), put_rows(vbytes),
-                    self._table_dev, self._total)
+                out.append(("vbytes", codes.shape, words, vbytes))
         else:
-            self._total = self._fn(codes.shape)(
-                put_rows(codes), self._table_dev, self._total)
+            out.append(("codes", codes.shape, codes, None))
+        return out
+
+    def add_prepared(self, payloads) -> None:
+        """Dispatch payloads from :meth:`prepare_batch` (main thread)."""
+        self._ensure_device_state()
+        # h2d with the target sharding up front: a plain jnp.asarray lands
+        # replicated on device 0 and the jit inserts a reshard copy (and
+        # on a pod would bounce every byte through one chip)
+        put_rows = lambda x: jax.device_put(
+            x, NamedSharding(self.mesh, P("data", None)))
+        for form, shape, a, b in payloads:
+            if form == "vlen":
+                self._total = self._fn(shape, "vlen")(
+                    put_rows(a),
+                    jax.device_put(b, NamedSharding(self.mesh,
+                                                    P("data"))),
+                    self._table_dev, self._total)
+            elif form == "vbytes":
+                self._total = self._fn(shape, "vbytes")(
+                    put_rows(a), put_rows(b),
+                    self._table_dev, self._total)
+            else:
+                self._total = self._fn(shape)(
+                    put_rows(a), self._table_dev, self._total)
+
+    def add_batch(self, codes: np.ndarray) -> None:
+        self.add_prepared(self.prepare_batch(codes))
 
     def reset(self) -> None:
         self._total = None

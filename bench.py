@@ -113,10 +113,13 @@ def breakdown(pipe, table, fq, first_batch, t_e2e, n_reads):
     for b in fastx.read_batches(fq, batch=BATCH, maxlen=READ_LEN + 6, k=K):
         nb += b.shape[0]
     t_parse = time.time() - t0
+    fb = np.asarray(first_batch)
+    pack.bitpack_codes(fb)  # warm (first call pays alloc/page faults)
     t0 = time.time()
-    words, vbytes = pack.bitpack_codes(np.asarray(first_batch))
-    vlen = pack.valid_prefix_lens(np.asarray(first_batch))
-    t_pack = (time.time() - t0) * (nb / max(first_batch.shape[0], 1))
+    for _ in range(4):
+        words, vbytes = pack.bitpack_codes(fb)
+        vlen = pack.valid_prefix_lens(fb)
+    t_pack = (time.time() - t0) / 4 * (nb / max(fb.shape[0], 1))
     # device-only: replay the resident first batch with a carry dep
     import jax.numpy as jnp
 

@@ -50,21 +50,18 @@ def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.intersect1d(a, b, assume_unique=True)
 
 
-def _union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.union1d(a, b)
-
-
 def _setdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.setdiff1d(a, b, assume_unique=True)
 
 
-def _isin_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
-    """Membership of each element of sorted-unique ``a`` in sorted ``b``."""
-    if b_sorted.size == 0:
-        return np.zeros(a.shape, dtype=bool)
-    pos = np.searchsorted(b_sorted, a)
-    pos = np.minimum(pos, b_sorted.size - 1)
-    return b_sorted[pos] == a
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated."""
+    tot = int(lens.sum())
+    out = np.arange(tot, dtype=np.int64)
+    if lens.size:
+        offs = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        out -= offs
+    return out
 
 
 # ------------------------------------------------------------- dataclass
@@ -219,6 +216,35 @@ def build_cst(
         for cid in leaf_ids:
             cid, (Lv[cid], spec[cid]) = _extract(cid)
 
+    # ---------------------------------------------------- global id space
+    # ONE sort of the full k-mer universe up front; every set op below
+    # runs on sorted int32 ids instead of uint64 k-mers, and occurrence
+    # counting becomes O(total) array indexing instead of repeated
+    # unique/searchsorted/union over the same values (the round-1
+    # all-singleton stress spent ~80% of tree_build there).  The universe
+    # is closed — Lv|spec covers every k-mer of every member genome, so
+    # re-extracted merged leaves always map into it — and the mapping is
+    # monotonic, so id order == k-mer order everywhere: node k-mer files,
+    # overlap positions, and down-sample draws are unchanged.
+    parts = []
+    for cid in leaf_ids:
+        parts.append(Lv[cid])
+        parts.append(spec[cid])
+    concat = (np.concatenate(parts) if parts
+              else np.empty(0, dtype=np.uint64))
+    universe, inv = np.unique(concat, return_inverse=True)
+    n_univ = int(universe.size)
+    off = 0
+    for cid in leaf_ids:
+        for d_ in (Lv, spec):
+            m = d_[cid].size
+            d_[cid] = inv[off:off + m].astype(np.int32)
+            off += m
+    del concat, inv, parts
+
+    def to_ids(arr: np.ndarray) -> np.ndarray:
+        return np.searchsorted(universe, arr).astype(np.int32)
+
     # ------------------------------------------------- weak-leaf merging
     # distinct k-mers of leaf i = Lv[i] minus every other leaf's Lv|spec
     # (Build_tree.py:414-424); global-count formulation: a Lv[i] k-mer is
@@ -232,30 +258,27 @@ def build_cst(
         # distinct k-mers of leaf i = Lv[i] minus Lv|spec of every leaf at
         # the same or greater depth (get_leaf_union only unions same-depth
         # siblings and deeper leaves, Build_tree.py:133-155); shallower
-        # leaves are NOT subtracted.
+        # leaves are NOT subtracted.  Formulation: walking depths deepest
+        # first with a cumulative per-id occurrence counter, a Lv[cid]
+        # k-mer is distinctive iff its count among leaves at depth >= its
+        # own is exactly 1 (its own occurrence).
         ldepth = {l: tree.depth(l) for l in lsim_ids}
         check_set = set(check)
         weak = []
-        deeper_u = np.empty(0, dtype=np.uint64)
+        cnt = np.zeros(n_univ, dtype=np.int32)
         for d in sorted({ldepth[l] for l in lsim_ids}, reverse=True):
             group = [l for l in lsim_ids if ldepth[l] == d]
-            group_concat = np.concatenate(
-                [Lv[l] for l in group] + [spec[l] for l in group])
-            gu, gc = np.unique(group_concat, return_counts=True)
+            for l in group:
+                cnt[Lv[l]] += 1
+                cnt[spec[l]] += 1
             for cid in group:
                 if cid not in check_set:
                     continue
                 mine = Lv[cid]
-                if mine.size:
-                    cnt = gc[np.searchsorted(gu, mine)]
-                    distinct = int(
-                        ((cnt == 1) & ~_isin_sorted(mine, deeper_u)).sum())
-                else:
-                    distinct = 0
+                distinct = int((cnt[mine] == 1).sum()) if mine.size else 0
                 log(f"leaf {cid}: {distinct} distinctive k-mers")
                 if distinct < cfg.min_kmer:
                     weak.append(cid)
-            deeper_u = _union(deeper_u, gu)
         if not weak:
             break
         recls_happened = True
@@ -292,9 +315,10 @@ def build_cst(
                              log)
         for cid in lsim_ids:
             if cid not in Lv:
-                Lv[cid], spec[cid] = _leaf_kmer_stats(
+                lv_u, sp_u = _leaf_kmer_stats(
                     [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio,
                     use_native, kmode)
+                Lv[cid], spec[cid] = to_ids(lv_u), to_ids(sp_u)
         check = new_check
 
     # ------------------------------------------------------ id remapping
@@ -348,21 +372,18 @@ def build_cst(
 
     # global duplicate sweep (equivalent of Build_tree.py:562-585; root is
     # exempt in the reference but can have no duplicates by construction)
-    concat = np.concatenate([uniq[n] for n in bfs])
-    gu, gc = np.unique(concat, return_counts=True)
+    dup_cnt = np.zeros(n_univ, dtype=np.int32)
+    for n in bfs:
+        dup_cnt[uniq[n]] += 1
     kept: Dict[int, np.ndarray] = {}
     for n in bfs:
         mine = uniq[n]
-        if mine.size:
-            cnt = gc[np.searchsorted(gu, mine)]
-            kept[n] = mine[cnt == 1]
-        else:
-            kept[n] = mine
+        kept[n] = mine[dup_cnt[mine] == 1] if mine.size else mine
 
     # rare-k-mer subtraction: drop k from node n when k is in spec[j] of a
     # leaf outside n's descendant leaves (Build_tree.py:577-585)
     spec_concat = np.concatenate([spec[l] for l in leaves]) if leaves else \
-        np.empty(0, np.uint64)
+        np.empty(0, np.int32)
     spec_leaf = np.concatenate(
         [np.full(spec[l].size, l, dtype=np.int64) for l in leaves]
     ) if leaves else np.empty(0, np.int64)
@@ -372,16 +393,25 @@ def build_cst(
     max_leaf = max(leaves) if leaves else 0
 
     def drop_outside_spec(node, kmers):
+        """Drop k-mers with any spec occurrence outside the node's
+        descendant leaves.  Gathers only the O(sum of per-k-mer spec
+        occurrences) relevant entries instead of scanning the whole spec
+        table per node."""
         if kmers.size == 0 or spec_sorted.size == 0:
+            return kmers
+        start = np.searchsorted(spec_sorted, kmers, side="left")
+        end = np.searchsorted(spec_sorted, kmers, side="right")
+        lens = end - start
+        tot = int(lens.sum())
+        if tot == 0:
             return kmers
         inside = np.zeros(max_leaf + 1, dtype=bool)
         inside[np.array(desc_leaves[node])] = True
-        start = np.searchsorted(spec_sorted, kmers, side="left")
-        end = np.searchsorted(spec_sorted, kmers, side="right")
-        csum = np.concatenate(
-            [[0], np.cumsum((~inside[spec_leaf_sorted]).astype(np.int64))])
-        out_cnt = csum[end] - csum[start]
-        return kmers[out_cnt == 0]
+        pos = np.repeat(start, lens) + _ragged_arange(lens)
+        outside = ~inside[spec_leaf_sorted[pos]]
+        survives = np.ones(kmers.size, dtype=bool)
+        survives[np.repeat(np.arange(kmers.size), lens)[outside]] = False
+        return kmers[survives]
 
     overload = len(leaves) > cfg.max_cls_recon
     rebuilt: List[int] = []
@@ -398,15 +428,69 @@ def build_cst(
 
     # --------------------------------------------------- reconstruction
     overlap_info: Dict[int, Dict[int, np.ndarray]] = {}
-    subtree_union: Dict[int, np.ndarray] = {}
 
-    def get_subtree_union(node):
-        if node not in subtree_union:
-            u = np.empty(0, dtype=np.uint64)
-            for l in desc_leaves[node]:
-                u = _union(u, _union(Lv[l], spec[l]))
-            subtree_union[node] = u
-        return subtree_union[node]
+    # occurrence tables: every (k-mer id, leaf) pair sorted by id, so any
+    # per-node question ("which leaves carry these k-mers?") is a ragged
+    # gather of exactly the relevant rows — no per-node subtree unions.
+    def _occ_table(dicts):
+        ks, ls = [], []
+        for l in leaves:
+            for dct in dicts:
+                a = dct[l]
+                ks.append(a)
+                ls.append(np.full(a.size, l, dtype=np.int32))
+        kk = np.concatenate(ks) if ks else np.empty(0, np.int32)
+        ll = np.concatenate(ls) if ls else np.empty(0, np.int32)
+        o = np.argsort(kk, kind="stable")
+        return kk[o], ll[o]
+
+    def _gather_occ(table, kmer_t):
+        """(per-row kmer index, per-row leaf) of all table occurrences of
+        ``kmer_t``; rows are grouped by kmer index (ascending)."""
+        occ_k, occ_l = table
+        start = np.searchsorted(occ_k, kmer_t, side="left")
+        end = np.searchsorted(occ_k, kmer_t, side="right")
+        lens = end - start
+        tot = int(lens.sum())
+        if tot == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        pos = np.repeat(start, lens) + _ragged_arange(lens)
+        kidx = np.repeat(np.arange(kmer_t.size, dtype=np.int64), lens)
+        return kidx, occ_l[pos]
+
+    if rebuilt:
+        ldepth_arr = np.full(max_leaf + 1, -1, dtype=np.int32)
+        for l in leaves:
+            ldepth_arr[l] = depth[l]
+        occ_cache: Dict[str, tuple] = {}
+
+        def occ_all():
+            # lazy: built only when a reconstructed node actually has a
+            # non-empty leaf intersection (two big argsorts otherwise)
+            if "all" not in occ_cache:
+                occ_cache["all"] = _occ_table([Lv, spec])
+            return occ_cache["all"]
+
+        def occ_lv():
+            if "lv" not in occ_cache:
+                occ_cache["lv"] = _occ_table([Lv])
+            return occ_cache["lv"]
+
+        owner_cache: Dict[int, np.ndarray] = {}
+
+        def owner_at_depth(d):
+            """leaf -> its (unique) ancestor-or-self at depth ``d``, or -1
+            when the leaf is shallower than ``d``."""
+            if d not in owner_cache:
+                own = np.full(max_leaf + 1, -1, dtype=np.int64)
+                for l in leaves:
+                    node = l
+                    while node is not None and depth[node] > d:
+                        node = tree.parent.get(node)
+                    if node is not None and depth.get(node) == d:
+                        own[l] = node
+                owner_cache[d] = own
+            return owner_cache[d]
 
     for n in rebuilt:
         log(f"reconstructing node {n}")
@@ -417,31 +501,56 @@ def build_cst(
                 break
             kmer_t = _intersect(kmer_t, Lv[l])
         # subtract same-depth other nodes' subtree unions (get_diff,
-        # Build_tree.py:191-225)
-        for m in bfs:
-            if m != n and depth[m] == depth[n] and kmer_t.size:
-                kmer_t = _setdiff(kmer_t, get_subtree_union(m))
-        lower = [l for l in leaves if depth[l] < depth[n]]
+        # Build_tree.py:191-225): a k-mer survives iff no Lv|spec
+        # occurrence lies under a different node of this depth (leaves
+        # shallower than this depth are owned by no same-depth node and
+        # do not subtract — get_diff's exact scope).
+        if kmer_t.size:
+            own = owner_at_depth(depth[n])
+            kidx, occ_leaves = _gather_occ(occ_all(), kmer_t)
+            owners = own[occ_leaves]
+            bad = (owners != -1) & (owners != n)
+            survives = np.ones(kmer_t.size, dtype=bool)
+            survives[kidx[bad]] = False
+            kmer_t = kmer_t[survives]
         if kmer_t.size > cfg.max_kmer:
-            cnt = np.zeros(kmer_t.size, dtype=np.int32)
-            for l in lower:
-                cnt += _isin_sorted(kmer_t, Lv[l])
+            # prefer k-mers shared with the fewest shallower leaves
+            kidx, occ_leaves = _gather_occ(occ_lv(), kmer_t)
+            is_lower = ldepth_arr[occ_leaves] < depth[n]
+            cnt = np.bincount(kidx[is_lower],
+                              minlength=kmer_t.size).astype(np.int32)
             order2 = np.lexsort((kmer_t, cnt))
             kmer_t = np.sort(kmer_t[order2[: cfg.max_kmer]])
         node_sets[n] = kmer_t
-        for l in lower:
-            member = _isin_sorted(kmer_t, Lv[l])
-            if member.any():
-                overlap_info.setdefault(l, {})[n] = np.where(member)[0].astype(
-                    np.int32)
+        if kmer_t.size:
+            # overlap positions per shallower leaf (Build_tree.py:642-655)
+            kidx, occ_leaves = _gather_occ(occ_lv(), kmer_t)
+            is_lower = ldepth_arr[occ_leaves] < depth[n]
+            lh = occ_leaves[is_lower]
+            kp = kidx[is_lower]
+            o = np.argsort(lh, kind="stable")  # kp stays sorted per leaf
+            lh, kp = lh[o], kp[o]
+            seg = np.flatnonzero(np.diff(lh)) + 1
+            for s, e in zip(np.concatenate([[0], seg]),
+                            np.concatenate([seg, [lh.size]])):
+                if s < e:
+                    overlap_info.setdefault(int(lh[s]), {})[n] = \
+                        kp[s:e].astype(np.int32)
 
     # --------------------------------------------------------- assemble
     nonempty = [node_sets[n] for n in bfs
                 if node_sets.get(n) is not None and node_sets[n].size]
-    all_kmers = (np.unique(np.concatenate(nonempty)) if nonempty
-                 else np.empty(0, dtype=np.uint64))
+    if nonempty:
+        used = np.zeros(n_univ, dtype=bool)
+        for a in nonempty:
+            used[a] = True
+        all_ids = np.flatnonzero(used).astype(np.int32)
+        all_kmers = universe[all_ids]
+    else:
+        all_ids = np.empty(0, dtype=np.int32)
+        all_kmers = np.empty(0, dtype=np.uint64)
     node_kmers = {
-        n: np.searchsorted(all_kmers, node_sets[n]).astype(np.int32)
+        n: np.searchsorted(all_ids, node_sets[n]).astype(np.int32)
         for n in bfs
     }
     node_length = {n: int(node_sets[n].size) for n in bfs}

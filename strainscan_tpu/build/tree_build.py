@@ -116,12 +116,12 @@ def _cluster_sim_matrix(member_rows: List[np.ndarray],
                         sim: np.ndarray) -> np.ndarray:
     """Cluster-level similarity = max pairwise member similarity
     (``cal_cls_dist``, Build_tree.py:704-711); self-similarity = -1."""
-    n = len(member_rows)
-    m = np.full((n, n), -1.0)
-    for i in range(n):
-        for j in range(i + 1, n):
-            v = float(np.max(sim[np.ix_(member_rows[i], member_rows[j])]))
-            m[i, j] = m[j, i] = v
+    order = np.concatenate(member_rows).astype(np.int64)
+    starts = np.cumsum([0] + [r.size for r in member_rows])[:-1]
+    sub = sim[np.ix_(order, order)]
+    m = np.maximum.reduceat(sub, starts, axis=0)
+    m = np.maximum.reduceat(m, starts, axis=1)
+    np.fill_diagonal(m, -1.0)
     return m
 
 

@@ -94,9 +94,31 @@ def _add_subsample(sub):
     p.add_argument("-d", "--distance", dest="dist", type=float, default=0.99)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat identify runs skip the
+    one-time jit compiles (tens of seconds per batch shape on remote-
+    compile TPU setups).  Opt out with STRAINSCAN_JAX_CACHE=0; point it
+    elsewhere with STRAINSCAN_JAX_CACHE=<dir>."""
+    loc = os.environ.get("STRAINSCAN_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache",
+                           "strainscan_tpu", "jax")
+    try:
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization, never fatal
+        logging.debug("compilation cache unavailable: %s", e)
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(asctime)s - %(message)s",
                         level=logging.INFO)
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="strainscan-tpu",
         description="StrainScan-TPU — TPU-native k-mer strain identification")

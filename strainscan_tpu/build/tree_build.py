@@ -190,9 +190,12 @@ def build_cst(
     def member_rows(cid):
         return np.array([name_idx[s] for s in fna[cid]])
 
+    from strainscan_tpu.utils.profiling import phase
+
     leaf_ids = sorted(fna)
-    cls_sim = _cluster_sim_matrix([member_rows(c) for c in leaf_ids], sim)
-    tree = _hierarchy(leaf_ids, cls_sim)
+    with phase("tree_build/hierarchy"):
+        cls_sim = _cluster_sim_matrix([member_rows(c) for c in leaf_ids], sim)
+        tree = _hierarchy(leaf_ids, cls_sim)
 
     Lv: Dict[int, np.ndarray] = {}
     spec: Dict[int, np.ndarray] = {}
@@ -203,18 +206,19 @@ def build_cst(
             [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio, use_native,
             kmode)
 
-    if cfg.threads > 1 and len(leaf_ids) > 1:
-        # host-parallel leaf extraction: the native k-merizer and NumPy
-        # set ops release the GIL (round-1 VERDICT weak #5: serial at
-        # 1400-strain scale)
-        import concurrent.futures
+    with phase("tree_build/leaf_extract"):
+        if cfg.threads > 1 and len(leaf_ids) > 1:
+            # host-parallel leaf extraction: the native k-merizer and NumPy
+            # set ops release the GIL (round-1 VERDICT weak #5: serial at
+            # 1400-strain scale)
+            import concurrent.futures
 
-        with concurrent.futures.ThreadPoolExecutor(cfg.threads) as ex:
-            for cid, (lv, sp_) in ex.map(_extract, leaf_ids):
-                Lv[cid], spec[cid] = lv, sp_
-    else:
-        for cid in leaf_ids:
-            cid, (Lv[cid], spec[cid]) = _extract(cid)
+            with concurrent.futures.ThreadPoolExecutor(cfg.threads) as ex:
+                for cid, (lv, sp_) in ex.map(_extract, leaf_ids):
+                    Lv[cid], spec[cid] = lv, sp_
+        else:
+            for cid in leaf_ids:
+                cid, (Lv[cid], spec[cid]) = _extract(cid)
 
     # ---------------------------------------------------- global id space
     # ONE sort of the full k-mer universe up front; every set op below
@@ -226,29 +230,47 @@ def build_cst(
     # re-extracted merged leaves always map into it — and the mapping is
     # monotonic, so id order == k-mer order everywhere: node k-mer files,
     # overlap positions, and down-sample draws are unchanged.
-    parts = []
-    for cid in leaf_ids:
-        parts.append(Lv[cid])
-        parts.append(spec[cid])
-    concat = (np.concatenate(parts) if parts
-              else np.empty(0, dtype=np.uint64))
-    universe, inv = np.unique(concat, return_inverse=True)
-    n_univ = int(universe.size)
-    off = 0
-    for cid in leaf_ids:
-        for d_ in (Lv, spec):
-            m = d_[cid].size
-            d_[cid] = inv[off:off + m].astype(np.int32)
-            off += m
-    del concat, inv, parts
+    with phase("tree_build/id_space"):
+        parts = []
+        for cid in leaf_ids:
+            parts.append(Lv[cid])
+            parts.append(spec[cid])
+        concat = (np.concatenate(parts) if parts
+                  else np.empty(0, dtype=np.uint64))
+        universe, inv = np.unique(concat, return_inverse=True)
+        n_univ = int(universe.size)
+        if n_univ >= 2**31:
+            raise ValueError(
+                f"k-mer universe has {n_univ} entries; the int32 global id "
+                f"space caps at 2^31-1 (split the build or raise alpha_ratio)")
+        off = 0
+        for cid in leaf_ids:
+            for d_ in (Lv, spec):
+                m = d_[cid].size
+                d_[cid] = inv[off:off + m].astype(np.int32)
+                off += m
+        del concat, inv, parts
 
     def to_ids(arr: np.ndarray) -> np.ndarray:
-        return np.searchsorted(universe, arr).astype(np.int32)
+        ids = np.searchsorted(universe, arr)
+        # closed-universe invariant: Lv|spec covers all member-genome
+        # k-mers, so every re-extracted merged-leaf k-mer must map in;
+        # searchsorted would silently alias on a miss, so verify.
+        if arr.size and not bool(
+                (universe[np.minimum(ids, n_univ - 1)] == arr).all()):
+            raise AssertionError(
+                "k-mer outside the global id universe (closed-universe "
+                "invariant violated)")
+        return ids.astype(np.int32)
 
     # ------------------------------------------------- weak-leaf merging
     # distinct k-mers of leaf i = Lv[i] minus every other leaf's Lv|spec
     # (Build_tree.py:414-424); global-count formulation: a Lv[i] k-mer is
     # distinct iff it appears in exactly one leaf's Lv|spec universe.
+    import time as _time
+
+    from strainscan_tpu.utils.profiling import PHASE_TIMES
+    _t0 = _time.time()
     recls_happened = False
     check = list(leaf_ids)
     # leaf-level similarity matrix maintained under merges
@@ -320,6 +342,8 @@ def build_cst(
                     use_native, kmode)
                 Lv[cid], spec[cid] = to_ids(lv_u), to_ids(sp_u)
         check = new_check
+    PHASE_TIMES["tree_build/weak_leaf_merge"] = _time.time() - _t0
+    _t0 = _time.time()
 
     # ------------------------------------------------------ id remapping
     # leaves 1..L, internal L+1.. in BFS order (Build_tree.py:471-491);
@@ -413,6 +437,8 @@ def build_cst(
         survives[np.repeat(np.arange(kmers.size), lens)[outside]] = False
         return kmers[survives]
 
+    PHASE_TIMES["tree_build/propagate"] = _time.time() - _t0
+    _t0 = _time.time()
     overload = len(leaves) > cfg.max_cls_recon
     rebuilt: List[int] = []
     node_sets: Dict[int, np.ndarray] = {}
@@ -425,6 +451,8 @@ def build_cst(
             kmer_t = np.sort(
                 rng.choice(kmer_t, size=cfg.max_kmer, replace=False))
         node_sets[n] = kmer_t
+    PHASE_TIMES["tree_build/node_specific"] = _time.time() - _t0
+    _t0 = _time.time()
 
     # --------------------------------------------------- reconstruction
     overlap_info: Dict[int, Dict[int, np.ndarray]] = {}
@@ -537,6 +565,7 @@ def build_cst(
                     overlap_info.setdefault(int(lh[s]), {})[n] = \
                         kp[s:e].astype(np.int32)
 
+    PHASE_TIMES["tree_build/reconstruct"] = _time.time() - _t0
     # --------------------------------------------------------- assemble
     nonempty = [node_sets[n] for n in bfs
                 if node_sets.get(n) is not None and node_sets[n].size]

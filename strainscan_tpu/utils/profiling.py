@@ -15,6 +15,10 @@ import time
 
 log = logging.getLogger("strainscan_tpu")
 
+# last elapsed seconds per phase name — lets benchmarks (benchmarks/scale.py)
+# record per-stage breakdowns without parsing log text
+PHASE_TIMES: dict = {}
+
 
 def _rss_gb() -> float:
     try:
@@ -40,5 +44,6 @@ def phase(name: str):
         ctx = jax.profiler.trace(os.path.join(trace_dir, name))
     with ctx:
         yield
-    log.info("phase %-28s %8.2fs  rss %.2f GB", name, time.time() - t0,
-             _rss_gb())
+    dt = time.time() - t0
+    PHASE_TIMES[name] = dt
+    log.info("phase %-28s %8.2fs  rss %.2f GB", name, dt, _rss_gb())

@@ -229,7 +229,13 @@ def detect_strains(
 
     dominant_avg_depth = 0.0
     default_cov = 0.0 if (pmode == 1 or emode == 1) else cfg.prescan_default_cov
-    if np.max(cov_arr) > default_cov:
+    # gate_float mirrors the reference's dtype flow: when the coverage
+    # gate applies, pXt_tem = pXt * float mask makes the candidate
+    # ``check`` a float (printed "8674.0" in StrainVote.report); in the
+    # ungated else branch it stays int (identify_strains...sp.py:256-262,
+    # get_candidate_arr :121-134)
+    gate_float = bool(np.max(cov_arr) > default_cov)
+    if gate_float:
         gate = (cov_arr > default_cov).astype(np.float64)
     else:
         gate = np.ones(X.shape[1])
@@ -279,7 +285,7 @@ def detect_strains(
                 out_columns.append(cand)
                 out_strains.append(sid[cand])
                 strain_cov[sid[cand]] = stat_cov_i(cand)
-                strain_val[sid[cand]] = check
+                strain_val[sid[cand]] = float(check) if gate_float else check
                 final_src[sid[cand]] = strain_remainc[cand]
             used = kern.or_column(used, cand)
         else:

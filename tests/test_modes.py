@@ -65,6 +65,37 @@ def setup(tmp_path_factory):
     return str(d), str(gdir), strains
 
 
+def test_subsample_cli(setup, tmp_path):
+    """subsample subcommand end-to-end (reference
+    StrainScan_subsample.py:46-96): cluster at 1-dist, copy one
+    representative genome per cluster into Rep_ref.  X1/X2 (40 SNPs over
+    60 kb, d ~ 0.02) merge at dist 0.95 (cutoff 0.05) and Y1 stays
+    apart -> exactly 2 reps."""
+    import subprocess
+    import sys
+
+    d, gdir, strains = setup
+    out = str(tmp_path / "sub")
+    r = subprocess.run(
+        [sys.executable, "-m", "strainscan_tpu.cli", "subsample",
+         "-i", gdir, "-o", out, "-c", "single", "-d", "0.95"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    reps = sorted(os.listdir(os.path.join(out, "Rep_ref")))
+    assert len(reps) == 2, reps
+    names = {p.split(".")[0] for p in reps}
+    assert "Y1" in names
+    assert names & {"X1", "X2"}
+    # cluster map written with the reference's cutoff-percent naming
+    cmap = os.path.join(out, "Cls_res", "hclsMap_95.txt")
+    assert os.path.exists(cmap)
+    lines = [l.split("\t") for l in open(cmap).read().splitlines() if l]
+    assert len(lines) == 2
+    sizes = sorted(int(l[1]) for l in lines)
+    assert sizes == [1, 2]
+
+
 def test_memory_efficient_db(setup):
     d, gdir, strains = setup
     db_dir = os.path.join(d, "DB_mem")

@@ -237,19 +237,22 @@ def build_cst(
             parts.append(spec[cid])
         concat = (np.concatenate(parts) if parts
                   else np.empty(0, dtype=np.uint64))
-        universe, inv = np.unique(concat, return_inverse=True)
+        # np.unique WITHOUT return_inverse: the inverse path pays a full
+        # argsort (~3x a plain sort at 300M entries / 1400-strain scale);
+        # per-leaf searchsorted over the already-sorted leaf arrays
+        # reproduces the same ids bit-for-bit (every element is in the
+        # universe by construction).
+        universe = np.unique(concat)
+        del concat, parts
         n_univ = int(universe.size)
         if n_univ >= 2**31:
             raise ValueError(
                 f"k-mer universe has {n_univ} entries; the int32 global id "
                 f"space caps at 2^31-1 (split the build or raise alpha_ratio)")
-        off = 0
         for cid in leaf_ids:
             for d_ in (Lv, spec):
-                m = d_[cid].size
-                d_[cid] = inv[off:off + m].astype(np.int32)
-                off += m
-        del concat, inv, parts
+                d_[cid] = np.searchsorted(
+                    universe, d_[cid]).astype(np.int32)
 
     def to_ids(arr: np.ndarray) -> np.ndarray:
         ids = np.searchsorted(universe, arr)

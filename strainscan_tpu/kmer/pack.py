@@ -156,6 +156,37 @@ def bitpack_codes(codes: np.ndarray, need_vbytes: bool = True):
     return words, vbytes
 
 
+def bitpack_codes_vlen(codes: np.ndarray):
+    """Fused single-pass (words, vlen) packing via the native library.
+
+    Returns ``(words uint32 [B, ceil(L/16)], vlen uint16 [B])`` — the
+    payload of the vlen transfer form — or ``None`` when a row's validity
+    is not a contiguous prefix (mid-read N; caller falls back to
+    ``bitpack_codes`` + vbytes) or the native library is unavailable.
+    Replaces the two-pass ``valid_prefix_lens`` + ``bitpack_codes``
+    NumPy flow on the hot producer path (~70% of host time at 1.2M
+    reads/batch stream)."""
+    from strainscan_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "pack_codes_vlen"):
+        return None
+    import ctypes
+
+    b, length = codes.shape
+    w = -(-length // 16)
+    codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
+    words = np.empty((b, w), dtype=np.uint32)
+    vlen = np.empty((b,), dtype=np.uint16)
+    rc = lib.pack_codes_vlen(
+        codes_c.ctypes.data_as(ctypes.c_void_p), b, length,
+        words.ctypes.data_as(ctypes.c_void_p), w,
+        vlen.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return words, vlen
+
+
 def valid_prefix_lens(codes: np.ndarray):
     """uint16 [B] valid-prefix lengths, or None if any row's validity is
     not a contiguous prefix (an N mid-read).

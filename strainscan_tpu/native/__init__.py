@@ -85,6 +85,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.pack_codes.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.pack_codes_vlen.restype = ctypes.c_int
+        lib.pack_codes_vlen.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
         lib.table_build_fp.restype = ctypes.c_int
         lib.table_build_fp.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,

@@ -374,6 +374,38 @@ int table_build_fp(const uint64_t *keys, const int32_t *values, long long n,
  * is the same layout, ~10x faster than the NumPy fallback).  codes is
  * uint8 [b, length] (0..3 base, >=4 invalid); words uint32 [b, w] with
  * w = ceil(length/16); vbytes uint8 [b, vb] with vb = ceil(length/8). */
+/* Fused 2-bit packing + validity-prefix extraction: ONE pass per row
+   producing the exact (words, vlen) payload of the vlen transfer form
+   (kmer/pack.py bitpack_codes + valid_prefix_lens fused; those two
+   NumPy passes were ~70% of the host pipeline at 1.2M reads).
+   Returns 0 when every row's validity is a contiguous prefix; 1 as soon
+   as a mid-row invalid code is seen (caller discards and falls back to
+   the vbytes form for the whole batch — semantics preserved). */
+int pack_codes_vlen(const unsigned char *codes, long long b, int length,
+                    uint32_t *words, int w, uint16_t *vlen) {
+    for (long long r = 0; r < b; r++) {
+        const unsigned char *row = codes + r * (long long)length;
+        uint32_t *wrow = words + r * (long long)w;
+        int run = 0;
+        while (run < length && row[run] < 4) run++;
+        for (int t = run; t < length; t++)
+            if (row[t] < 4) return 1;       /* mid-row N: not a prefix */
+        vlen[r] = (uint16_t)run;
+        for (int g = 0; g < w; g++) {
+            int base = g * 16;
+            int lim = length - base; if (lim > 16) lim = 16;
+            uint32_t acc = 0;
+            for (int t = 0; t < lim; t++) {
+                unsigned char c = row[base + t];
+                uint32_t valid = (uint32_t)(c < 4);      /* branchless */
+                acc |= ((uint32_t)(c & 3) * valid) << (2 * t);
+            }
+            wrow[g] = acc;
+        }
+    }
+    return 0;
+}
+
 void pack_codes(const unsigned char *codes, long long b, int length,
                 uint32_t *words, int w, unsigned char *vbytes, int vb) {
     for (long long r = 0; r < b; r++) {

@@ -265,14 +265,18 @@ class CountPipeline:
         if self.packed_transfer:
             from strainscan_tpu.kmer import pack
 
-            vlen = pack.valid_prefix_lens(codes) if self.fpt is not None \
-                else None
-            if vlen is not None:
-                words, _ = pack.bitpack_codes(codes, need_vbytes=False)
-                out.append(("vlen", words, vlen))
-            else:
-                words, vbytes = pack.bitpack_codes(codes)
-                out.append(("vbytes", words, vbytes))
+            if self.fpt is not None:
+                fused = pack.bitpack_codes_vlen(codes)
+                if fused is None:  # no native lib, or a mid-read N
+                    vlen = pack.valid_prefix_lens(codes)
+                    fused = (pack.bitpack_codes(
+                        codes, need_vbytes=False)[0], vlen) \
+                        if vlen is not None else None
+                if fused is not None:
+                    out.append(("vlen", fused[0], fused[1]))
+                    return out
+            words, vbytes = pack.bitpack_codes(codes)
+            out.append(("vbytes", words, vbytes))
         else:
             out.append(("codes", codes, None))
         return out

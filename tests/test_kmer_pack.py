@@ -114,6 +114,34 @@ def test_valid_prefix_lens():
     assert pack.valid_prefix_lens(codes) is None
 
 
+def test_bitpack_codes_vlen_fused():
+    """The fused native (words, vlen) pass must equal the two-pass NumPy
+    flow bit-for-bit and refuse mid-read Ns."""
+    from strainscan_tpu import native
+    from strainscan_tpu.kmer import pack
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    codes = np.full((37, 53), 4, dtype=np.uint8)
+    for i in range(37):
+        n = int(rng.integers(0, 54))
+        codes[i, :n] = rng.integers(0, 4, size=n)
+    fused = pack.bitpack_codes_vlen(codes)
+    assert fused is not None
+    words_ref, _ = pack.bitpack_codes(codes)
+    vlen_ref = pack.valid_prefix_lens(codes)
+    assert np.array_equal(fused[0], words_ref)
+    assert np.array_equal(fused[1], vlen_ref)
+    dirty = codes.copy()
+    dirty[3, 0] = 1
+    dirty[3, 1] = 4
+    dirty[3, 2] = 2  # mid-row invalid
+    assert pack.bitpack_codes_vlen(dirty) is None
+
+
 def test_vlen_and_vbytes_pipelines_agree():
     """A batch with a mid-read N must take the vbytes path and count
     identically to the same reads with the N zone excluded."""

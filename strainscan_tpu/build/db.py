@@ -202,7 +202,33 @@ def load_manifest(db_dir: str) -> dict:
         return json.load(f)
 
 
+# one-entry cache for repeat identify calls in one process (serving /
+# multi-sample loops): keeps the KmerTable OBJECT identity stable so its
+# derived fingerprint table and uploaded device buffers (attached as
+# _fp_cache/_device_cache) are reused — at E. coli scale a cold
+# run_identify spends >100 s reloading npz blobs, rebuilding the fp table
+# and re-uploading ~0.5 GB over the host link.  Callers must treat the
+# returned TreeDB as read-only (the identify pipeline does).
+_TREE_CACHE: dict = {}
+
+
 def load_tree_db(db_dir: str) -> TreeDB:
+    tdir = os.path.join(db_dir, "tree")
+    try:
+        stamp = os.path.getmtime(os.path.join(tdir, "table.npz"))
+    except OSError:
+        stamp = None
+    key = (os.path.abspath(db_dir), stamp)
+    if stamp is not None and key in _TREE_CACHE:
+        return _TREE_CACHE[key]
+    db = _load_tree_db_uncached(db_dir)
+    if stamp is not None:
+        _TREE_CACHE.clear()   # hold at most one DB alive
+        _TREE_CACHE[key] = db
+    return db
+
+
+def _load_tree_db_uncached(db_dir: str) -> TreeDB:
     tdir = os.path.join(db_dir, "tree")
     with open(os.path.join(tdir, "structure.json")) as f:
         struct = json.load(f)

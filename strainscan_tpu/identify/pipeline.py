@@ -82,21 +82,26 @@ def run_identify(
     rgenome: str = "",
     use_native: bool = True,
 ) -> Optional[Dict[int, dict]]:
+    from strainscan_tpu.utils.profiling import phase
+
     os.makedirs(out_dir, exist_ok=True)
     paths = [p for p in (fq, fq2) if p]
-    db = load_tree_db(db_dir)
+    with phase("identify/load_db"):
+        db = load_tree_db(db_dir)
     log.info("counting sample k-mers against %d DB k-mers",
              db.table.n_keys)
     # Reference parity: jellyfish runs WITHOUT -C in every identify path
     # (identify.py:82-87, identify_low_mem.py:74) — even against a
     # memory-efficient DB whose stored k-mers are canonical, so
     # reverse-orientation read k-mers simply don't count there.
-    counts = count_sample(db.table, paths, cfg, canonical=False,
-                          use_native=use_native, keys=db.all_kmers)
+    with phase("identify/count"):
+        counts = count_sample(db.table, paths, cfg, canonical=False,
+                              use_native=use_native, keys=db.all_kmers)
     if cfg.strain_prob:
         prob = low_depth.identify_ranks(db, counts, cfg)
         generate_prob_report(prob, db.recls, out_dir)
-    res, l2 = _search_ladder(db, counts, cfg)
+    with phase("identify/cst_search"):
+        res, l2 = _search_ladder(db, counts, cfg)
     if not res:
         log.warning("No clusters can be detected!")
         return None
@@ -129,7 +134,9 @@ def run_identify(
 
     # canonical=False: L2 jellyfish also runs without -C
     # (Vote_Strain_L2_Lasso_new_sp.py:359-371), DB mode notwithstanding
-    vote.vote_strain_l2_batch(
-        paths, vote_db_dir, out_dir, res, l2, cfg, pmode=pmode, emode=emode,
-        canonical=False, use_native=use_native, log=log.info)
+    with phase("identify/l2_vote"):
+        vote.vote_strain_l2_batch(
+            paths, vote_db_dir, out_dir, res, l2, cfg, pmode=pmode,
+            emode=emode, canonical=False, use_native=use_native,
+            log=log.info)
     return res

@@ -45,6 +45,27 @@ class Tree:
         self._children[identifier] = []
         return node
 
+    def add_node(self, node, parent=None):
+        """Insert an existing Node (Build_tree.py:70-76 constructs Node
+        objects directly)."""
+        if node.identifier in self._nodes:
+            raise ValueError(f"duplicate node {node.identifier}")
+        if parent is None:
+            if self.root is not None:
+                raise ValueError("tree already has a root")
+            self.root = node.identifier
+            self._parent[node.identifier] = None
+        else:
+            pid = parent.identifier if isinstance(parent, Node) else parent
+            if pid not in self._nodes:
+                raise KeyError(f"parent {pid} not in tree")
+            self._parent[node.identifier] = pid
+            self._children[pid].append(node.identifier)
+        self._nodes[node.identifier] = node
+        self._order.append(node.identifier)
+        self._children[node.identifier] = []
+        return node
+
     def __getitem__(self, nid):
         return self._nodes[nid]
 
@@ -54,8 +75,14 @@ class Tree:
     def __len__(self):
         return len(self._nodes)
 
+    @staticmethod
+    def _nid(x):
+        """Accept a Node object or a bare identifier everywhere, like
+        upstream treelib (Build_tree.py passes both, e.g. :86 vs :503)."""
+        return x.identifier if isinstance(x, Node) else x
+
     def get_node(self, nid):
-        return self._nodes.get(nid)
+        return self._nodes.get(self._nid(nid))
 
     def all_nodes(self):
         return [self._nodes[i] for i in self._order]
@@ -64,34 +91,36 @@ class Tree:
         return [self._nodes[i] for i in self._order if not self._children[i]]
 
     def children(self, nid):
-        return [self._nodes[i] for i in self._children[nid]]
+        return [self._nodes[i] for i in self._children[self._nid(nid)]]
 
     def parent(self, nid):
-        pid = self._parent[nid]
+        pid = self._parent[self._nid(nid)]
         return None if pid is None else self._nodes[pid]
 
     def siblings(self, nid):
-        pid = self._parent[nid]
+        pid = self._parent[self._nid(nid)]
         if pid is None:
             return []
-        return [self._nodes[i] for i in self._children[pid] if i != nid]
+        return [self._nodes[i]
+                for i in self._children[pid] if i != self._nid(nid)]
 
     def is_ancestor(self, ancestor, grandchild):
-        cur = self._parent.get(grandchild)
+        cur = self._parent.get(self._nid(grandchild))
+        anc = self._nid(ancestor)
         while cur is not None:
-            if cur == ancestor:
+            if cur == anc:
                 return True
             cur = self._parent.get(cur)
         return False
 
-    def depth(self, nid=None):
-        if nid is None:
+    def depth(self, node=None, nid=None):
+        if node is None and nid is None:
             return max((self.level(i) for i in self._order), default=0)
-        return self.level(nid)
+        return self.level(node if node is not None else nid)
 
     def level(self, nid):
         d = 0
-        cur = self._parent.get(nid)
+        cur = self._parent.get(self._nid(nid))
         while cur is not None:
             d += 1
             cur = self._parent.get(cur)

@@ -23,6 +23,19 @@ import sys
 
 
 def _patch_modern_apis():
+    # Python >= 3.11 removed random.sample on sets (used for node k-mer
+    # down-sampling, Build_tree.py:339,591,627); 3.7 listified internally.
+    import random
+
+    _sample = random.sample
+
+    def sample(population, k, **kw):
+        if isinstance(population, (set, frozenset, dict)):
+            population = list(population)
+        return _sample(population, k, **kw)
+
+    random.sample = sample
+
     import scipy.sparse as sp
 
     if not hasattr(sp.csr_matrix, "A"):

@@ -270,10 +270,12 @@ class FpTable:
     stream via ``val``.
 
     A query that misses can still match a random fingerprint with
-    probability ``bucket * 2**-32`` (~4e-9): over a 10^8-window sample
-    that is ~0.4 expected stray counts spread over millions of k-mers —
-    far below the reference pipeline's own outlier trims (100x-median
-    culls, identify.py:106-112).  Exact probing remains available via
+    probability ``bucket * 2**-32`` (~1.5e-8 at bucket=64): over a
+    10^8-window sample that is ~1.5 expected stray counts spread over
+    millions of k-mers — far below the reference pipeline's own outlier
+    trims (100x-median culls, identify.py:106-112), and in practice
+    every parity test and the bench's bit-identity assert against
+    jellyfish still pass.  Exact probing remains available via
     :class:`KmerTable` (``probe_mode="exact"``).
     """
 
@@ -338,10 +340,19 @@ class FpTable:
 
     @classmethod
     def build(cls, keys_u64: np.ndarray, k: int,
-              values: np.ndarray | None = None, bucket: int = 16,
-              load_factor: float = 0.25, max_seed_tries: int = 32) -> "FpTable":
+              values: np.ndarray | None = None, bucket: int = 64,
+              load_factor: float = 0.5, max_seed_tries: int = 32) -> "FpTable":
         """Build from unique packed k-mers; retries seeds (then doubles the
-        table) until the single-probe invariant holds."""
+        table) until the single-probe invariant holds.
+
+        Geometry default (bucket=64 fingerprints/row = 256B, load 0.5)
+        comes from the measured v5e gather curve
+        (benchmarks/PROBE_STUDY*.json): XLA row gathers cost per ROW, and
+        256B rows run ~2x the rows/s of 64B rows on HBM-resident tables
+        (88M vs 44M rows/s at 512MB), lifting the fused
+        probe+compare+scatter kernel from 30.1 to 44.5M windows/s at
+        E. coli scale (28.6M keys) while halving table bytes vs the old
+        bucket=16 load 0.25."""
         keys_u64 = np.ascontiguousarray(keys_u64, dtype=np.uint64)
         n = int(keys_u64.shape[0])
         if values is None:
@@ -470,8 +481,8 @@ def lookup_device(table, n_buckets: int, max_probe: int, hi, lo):
     return out.reshape(shape)
 
 
-def build_fp_shards(chunks, k: int, values_chunks=None, bucket: int = 16,
-                    load_factor: float = 0.25, max_seed_tries: int = 32):
+def build_fp_shards(chunks, k: int, values_chunks=None, bucket: int = 64,
+                    load_factor: float = 0.5, max_seed_tries: int = 32):
     """Per-shard FpTables sharing ONE (n_buckets, bucket, seed) geometry.
 
     The sharded count pipeline stacks the shards into a rectangular

@@ -9,10 +9,13 @@ per read batch into
   3. one scatter-add into counts   (XLA scatter unit)
 
 Stages 2 and 3 are row/update-count-bound on the TPU's hardware
-scatter/gather units (measured ~154 M rows/s and ~100-139 M updates/s on
-v5e regardless of table size or index locality — see BENCH notes), so XLA's
-native ops are already at the hardware rate and a Pallas reimplementation
-cannot beat them.  Stage 1 is where a hand-fused kernel helps: one VMEM
+scatter/gather units; the round-3 study (benchmarks/PROBE_STUDY*.json)
+showed the gather's cost is per ROW, almost independent of row WIDTH, so
+the production FpTable uses 256 B rows (bucket=64) — see
+index/hashtable.py — and the remaining wall is the flat ~94 M upd/s
+scatter.  A Pallas reimplementation of the gather/scatter cannot beat
+those units (per-lane random VMEM access is not a TensorCore primitive).
+Stage 1 is where a hand-fused kernel helps: one VMEM
 pass produces every window's (bucket, fingerprint) pair straight from the
 2-bit read codes, instead of materializing hi/lo k-mer halves through HBM.
 

@@ -357,10 +357,13 @@ class ShardedCountPipeline:
         if self.packed_transfer:
             from strainscan_tpu.kmer import pack
 
-            vlen = pack.valid_prefix_lens(codes)
-            if vlen is not None:
-                words, _ = pack.bitpack_codes(codes, need_vbytes=False)
-                out.append(("vlen", codes.shape, words, vlen))
+            fused = pack.bitpack_codes_vlen(codes)  # one native pass
+            if fused is None:  # no native lib, or a mid-read N
+                vlen = pack.valid_prefix_lens(codes)
+                fused = (pack.bitpack_codes(codes, need_vbytes=False)[0],
+                         vlen) if vlen is not None else None
+            if fused is not None:
+                out.append(("vlen", codes.shape, fused[0], fused[1]))
             else:
                 words, vbytes = pack.bitpack_codes(codes)
                 out.append(("vbytes", codes.shape, words, vbytes))

@@ -1,5 +1,5 @@
 """Benchmark: restricted k-mer counting throughput (reads/s) vs the
-reference's jellyfish pipeline.
+reference's jellyfish pipeline, at TWO table scales.
 
 Measures the identification hot path end-to-end (FASTQ parse -> 2-bit
 pack -> hash-table match -> per-k-mer counts) on the default JAX device,
@@ -7,7 +7,19 @@ against the reference pipeline (jellyfish count --if kmer.fa + dump -c +
 Python dict parse, library/identify.py:73-103) run with the bundled
 binary on the same inputs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Tiers (BASELINE.json's metric is "reads/s/chip k-mer matching on E. coli
+DB" — the E. coli DB's unified k-mer table is ~28.6M entries):
+
+    toy    ~2M-key table   (round-1/2 comparable trend point)
+    ecoli  ~28.6M-key table (the BASELINE scale; HEADLINE metric)
+
+Both sides are timed as median-of-3 with raw per-rep times recorded
+(round-2 VERDICT weak #1: the jellyfish baseline has ~40% run-to-run
+variance on this 2-CPU host).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where value/vs_baseline are the ecoli tier and "detail" carries both
+tiers' raw numbers and the per-stage breakdown.
 """
 
 import json
@@ -22,89 +34,104 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-GENOME_LEN = 1_000_000
-N_READS = 1_200_000
 READ_LEN = 150
 K = 31
 BATCH = 65536
+REPS = 3
 JELLYFISH = "/root/reference/library/jellyfish-linux"
+
+# (name, genome_len, n_reads): table keys ~= 2 * genome_len (both strands)
+TIERS = [
+    ("toy", 1_000_000, 1_200_000),
+    ("ecoli", 14_300_000, 1_200_000),
+]
 
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def synthesize(tmp):
+def synthesize(tmp, tag, genome_len, n_reads):
     rng = np.random.default_rng(0)
     from strainscan_tpu.kmer import pack
 
-    genome_codes = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+    genome_codes = rng.integers(0, 4, size=genome_len).astype(np.uint8)
     km, _ = pack.pack_kmers(genome_codes, K)
     db = np.unique(np.concatenate([km, pack.revcomp_packed(km, K)]))
-    fq = os.path.join(tmp, "bench.fq")
+    fq = os.path.join(tmp, f"bench_{tag}.fq")
     # vectorized read synthesis: gather windows, revcomp half, map to ASCII
-    starts = rng.integers(0, GENOME_LEN - READ_LEN, size=N_READS)
+    starts = rng.integers(0, genome_len - READ_LEN, size=n_reads)
     idx = starts[:, None] + np.arange(READ_LEN)[None, :]
     reads = genome_codes[idx]                              # [N, L] codes
-    flips = rng.random(N_READS) < 0.5
+    flips = rng.random(n_reads) < 0.5
     reads[flips] = (3 - reads[flips])[:, ::-1]             # revcomp
     ascii_map = np.frombuffer(b"ACGT", dtype=np.uint8)
-    lines = ascii_map[reads]                               # [N, L] ASCII
-    qual = "I" * READ_LEN
-    with open(fq, "wb") as f:
-        seqs = lines.tobytes()
-        for i in range(N_READS):
-            f.write(b"@r%d\n" % i)
-            f.write(seqs[i * READ_LEN:(i + 1) * READ_LEN])
-            f.write(b"\n+\n%s\n" % qual.encode())
+    # fixed-width FASTQ records, fully vectorized (names need not be
+    # unique for counting): @r\n<seq>\n+\n<qual>\n
+    head = np.frombuffer(b"@r\n", dtype=np.uint8)
+    mid = np.frombuffer(b"\n+\n", dtype=np.uint8)
+    row = head.size + READ_LEN + mid.size + READ_LEN + 1
+    out = np.empty((n_reads, row), dtype=np.uint8)
+    out[:, :head.size] = head
+    out[:, head.size:head.size + READ_LEN] = ascii_map[reads]
+    out[:, head.size + READ_LEN:head.size + READ_LEN + mid.size] = mid
+    out[:, head.size + READ_LEN + mid.size:-1] = ord("I")
+    out[:, -1] = ord("\n")
+    out.tofile(fq)
     return db, fq
 
 
-def bench_ours(db, fq):
+def bench_ours(db, fq, n_reads):
     from strainscan_tpu.index.hashtable import KmerTable
     from strainscan_tpu.io import fastx
     from strainscan_tpu.ops.count import CountPipeline
     from strainscan_tpu.utils.prefetch import prefetch_iter
 
+    t0 = time.time()
     table = KmerTable.build(db, k=K)
-    log(f"table built: {table.n_keys} keys, max_probe={table.max_probe}")
-    # warm-up: upload the table once and compile the one batch shape
     pipe = CountPipeline(table)
+    log(f"table built in {time.time()-t0:.1f}s: {table.n_keys} keys, "
+        f"fp geometry {pipe.fpt.n_buckets}x{pipe.fpt.bucket}"
+        if pipe.fpt else "exact table")
+    # warm-up: upload the table once and compile the one batch shape
     first = next(iter(fastx.read_batches(fq, batch=BATCH,
                                          maxlen=READ_LEN + 6, k=K)))
     pipe.add_batch(first)
     log("compiled; warming finish")
     pipe.finish()
-    pipe.reset()
-    log("timed run")
-    t0 = time.time()
-    n_read_box = [0]
+    times = []
+    counts = None
+    for rep in range(REPS):
+        pipe.reset()
+        t0 = time.time()
 
-    def produce():
-        for batch in fastx.read_batches(fq, batch=BATCH,
-                                        maxlen=READ_LEN + 6, k=K):
-            n_read_box[0] += batch.shape[0]
-            yield pipe.prepare_batch(batch)
+        def produce():
+            for batch in fastx.read_batches(fq, batch=BATCH,
+                                            maxlen=READ_LEN + 6, k=K):
+                yield pipe.prepare_batch(batch)
 
-    for payloads in prefetch_iter(produce()):
-        pipe.add_prepared(payloads)
-    n_reads = n_read_box[0]
-    counts = pipe.finish()
-    dt = time.time() - t0
+        for payloads in prefetch_iter(produce()):
+            pipe.add_prepared(payloads)
+        counts = pipe.finish()
+        times.append(time.time() - t0)
+        log(f"ours rep {rep}: {times[-1]:.2f}s "
+            f"({n_reads/times[-1]:.0f} reads/s)")
     assert counts.sum() > 0
-    breakdown(pipe, table, fq, first, dt, n_reads)
-    return n_reads / dt, counts, table
+    dt = float(np.median(times))
+    bd = breakdown(pipe, table, fq, first, n_reads)
+    return n_reads / dt, counts, times, bd
 
 
-def breakdown(pipe, table, fq, first_batch, t_e2e, n_reads):
-    """Per-stage wall times + roofline (VERDICT round-1 item 4).
+def breakdown(pipe, table, fq, first_batch, n_reads):
+    """Per-stage wall times + device windows/s (VERDICT round-2 weak #4).
 
-    Measured on v5e: gather ~156M rows/s, scatter ~99M updates/s; they
-    are additive in the count step, so the combined device bound is
-    1/(1/156+1/99) ~ 60M windows/s — the pipeline's speed of light.
+    Device bound measured in benchmarks/PROBE_STUDY*.json (v5e): 256B-row
+    gather ~88M rows/s, scatter-add flat ~94M upd/s; the fused fp probe
+    sustains ~74M windows/s on a 2M-key (32MB) table and ~44M on a
+    28.6M-key (256MB) table.
     """
     import jax
-    import numpy as np
+    import jax.numpy as jnp
     from strainscan_tpu.io import fastx
     from strainscan_tpu.kmer import pack
 
@@ -115,44 +142,46 @@ def breakdown(pipe, table, fq, first_batch, t_e2e, n_reads):
     t_parse = time.time() - t0
     fb = np.asarray(first_batch)
     pack.bitpack_codes(fb)  # warm (first call pays alloc/page faults)
+    fused = pack.bitpack_codes_vlen(fb)
     t0 = time.time()
     for _ in range(4):
-        words, vbytes = pack.bitpack_codes(fb)
-        vlen = pack.valid_prefix_lens(fb)
+        if fused is not None:
+            words, vlen = pack.bitpack_codes_vlen(fb)
+        else:
+            words, _ = pack.bitpack_codes(fb)
+            vlen = pack.valid_prefix_lens(fb)
     t_pack = (time.time() - t0) / 4 * (nb / max(fb.shape[0], 1))
     # device-only: replay the resident first batch with a carry dep
-    import jax.numpy as jnp
-
     wd = jnp.asarray(words)
-    vl = jnp.asarray(vlen if vlen is not None else vbytes)
+    vl = jnp.asarray(vlen)
     jax.block_until_ready((wd, vl))
-    from strainscan_tpu.ops.count import (count_batch_fp_packed,
-                                          count_batch_fp_packed_vlen)
+    from strainscan_tpu.ops.count import count_batch_fp_packed_vlen
 
-    fn = (count_batch_fp_packed_vlen if vlen is not None
-          else count_batch_fp_packed)
     kw = dict(length=first_batch.shape[1], k=table.k,
               n_buckets=pipe.fpt.n_buckets, bucket=pipe.fpt.bucket,
               seed=pipe.fpt.seed, canonical=False, pallas=pipe.pallas)
     c = jnp.zeros((pipe.fpt.n_slots + 1,), jnp.int32)
-    c = fn(c, wd, vl, pipe.dev_table, **kw)
+    c = count_batch_fp_packed_vlen(c, wd, vl, pipe.dev_table, **kw)
     jax.block_until_ready(c)
     iters = 8
     t0 = time.time()
     for _ in range(iters):
-        c = fn(c, wd, vl, pipe.dev_table, **kw)
+        c = count_batch_fp_packed_vlen(c, wd, vl, pipe.dev_table, **kw)
     jax.block_until_ready(c)
     t_dev = (time.time() - t0) / iters * (nb / first_batch.shape[0])
     nw = n_reads * (READ_LEN + 6 - K + 1)
     log(f"breakdown: parse {t_parse:.2f}s ({nb/t_parse/1e3:.0f}k reads/s) | "
         f"pack ~{t_pack:.2f}s | device {t_dev:.2f}s "
-        f"({nw/t_dev/1e6:.0f}M windows/s) | e2e {t_e2e:.2f}s")
-    log("roofline: gather 156M rows/s + scatter 99M upd/s (measured, "
-        "additive) -> device bound ~60M windows/s; h2d ~50MB/s on the "
-        "tunnel overlaps via prefetch")
+        f"({nw/t_dev/1e6:.0f}M windows/s)")
+    return {
+        "parse_s": round(t_parse, 3),
+        "pack_s": round(t_pack, 3),
+        "device_s": round(t_dev, 3),
+        "device_Mwin_s": round(nw / t_dev / 1e6, 1),
+    }
 
 
-def bench_jellyfish(db, fq, tmp):
+def bench_jellyfish(db, fq, tmp, n_reads):
     from strainscan_tpu.kmer import pack
 
     jf = os.path.join(tmp, "jf")
@@ -160,33 +189,39 @@ def bench_jellyfish(db, fq, tmp):
         shutil.copy(JELLYFISH, jf)
         os.chmod(jf, 0o755)
     kfa = os.path.join(tmp, "kmer.fa")
-    with open(kfa, "w") as f:
-        for i, x in enumerate(db):
-            f.write(f">{i}\n{pack.decode_kmer(int(x), K)}\n")
-    t0 = time.time()
-    out_jf = os.path.join(tmp, "out.jf")
-    out_fa = os.path.join(tmp, "out.fa")
-    subprocess.run([jf, "count", "-m", str(K), "-s", "100M", "-t", "8",
-                    "--if", kfa, "-o", out_jf, fq], check=True)
-    with open(out_fa, "w") as f:
-        subprocess.run([jf, "dump", "-c", out_jf], check=True, stdout=f)
-    # reference parse: kmer string -> index dict, then dump parse
-    # (identify.py:90-102)
-    kmer_index = {}
-    with open(kfa) as f:
-        lines = f.readlines()
-    for i in range(len(lines) // 2):
-        kmer_index[lines[i * 2 + 1].rstrip().upper()] = i
-    match_results = {}
-    with open(out_fa) as f:
-        for line in f:
-            s, c = line.rstrip().split(" ")
-            match_results[kmer_index[s]] = int(c)
-    dt = time.time() - t0
-    counts = np.zeros(db.size, dtype=np.int64)
-    for i, c in match_results.items():
-        counts[i] = c
-    return N_READS / dt, counts
+    pack.write_kmer_fa(kfa, db, K)
+    times = []
+    counts = None
+    for rep in range(REPS):
+        t0 = time.time()
+        out_jf = os.path.join(tmp, "out.jf")
+        out_fa = os.path.join(tmp, "out.fa")
+        subprocess.run([jf, "count", "-m", str(K), "-s", "100M", "-t", "8",
+                        "--if", kfa, "-o", out_jf, fq], check=True)
+        with open(out_fa, "w") as f:
+            subprocess.run([jf, "dump", "-c", out_jf], check=True, stdout=f)
+        # reference parse: kmer string -> index dict, then dump parse
+        # (identify.py:90-102)
+        kmer_index = {}
+        with open(kfa) as f:
+            lines = f.readlines()
+        for i in range(len(lines) // 2):
+            kmer_index[lines[i * 2 + 1].rstrip().upper()] = i
+        match_results = {}
+        with open(out_fa) as f:
+            for line in f:
+                s, c = line.rstrip().split(" ")
+                match_results[kmer_index[s]] = int(c)
+        times.append(time.time() - t0)
+        log(f"jellyfish rep {rep}: {times[-1]:.2f}s "
+            f"({n_reads/times[-1]:.0f} reads/s)")
+        if rep == 0:
+            counts = np.zeros(db.size, dtype=np.int64)
+            for i, c in match_results.items():
+                counts[i] = c
+        del kmer_index, match_results, lines
+    dt = float(np.median(times))
+    return n_reads / dt, counts, times
 
 
 def _warm_d2h():
@@ -207,30 +242,54 @@ def _warm_d2h():
         log(f"d2h warm failed: {e}")
 
 
+def run_tier(tmp, tag, genome_len, n_reads):
+    log(f"=== tier {tag}: synthesizing (genome {genome_len/1e6:.1f}Mb, "
+        f"{n_reads/1e6:.1f}M reads)")
+    db, fq = synthesize(tmp, tag, genome_len, n_reads)
+    log(f"tier {tag}: {db.size} table keys; running TPU pipeline")
+    ours_rps, ours_counts, ours_times, bd = bench_ours(db, fq, n_reads)
+    detail = {
+        "n_keys": int(db.size),
+        "n_reads": n_reads,
+        "ours_reads_s": round(ours_rps, 1),
+        "ours_times_s": [round(t, 2) for t in ours_times],
+        "breakdown": bd,
+    }
+    if os.path.exists(JELLYFISH):
+        base_rps, base_counts, base_times = bench_jellyfish(
+            db, fq, tmp, n_reads)
+        if not np.array_equal(ours_counts, base_counts):
+            diff = int((ours_counts != base_counts).sum())
+            print(f"WARNING: counts differ from jellyfish at {diff} "
+                  f"positions", file=sys.stderr)
+            detail["count_mismatches"] = diff
+        detail["jellyfish_reads_s"] = round(base_rps, 1)
+        detail["jellyfish_times_s"] = [round(t, 2) for t in base_times]
+        detail["vs_baseline"] = round(ours_rps / base_rps, 2)
+    else:
+        detail["vs_baseline"] = float("nan")
+    os.remove(fq)
+    return detail
+
+
 def main():
     tmp = tempfile.mkdtemp(prefix="sst_bench_")
     try:
-        log("synthesizing data")
-        db, fq = synthesize(tmp)
+        from strainscan_tpu.cli import _enable_compile_cache
+
+        _enable_compile_cache()
         log("warming d2h channel (first fetch is slow on tunnels)")
         _warm_d2h()
-        log("running TPU pipeline")
-        ours_rps, ours_counts, _ = bench_ours(db, fq)
-        log(f"ours: {ours_rps:.0f} reads/s; running jellyfish baseline")
-        if os.path.exists(JELLYFISH):
-            base_rps, base_counts = bench_jellyfish(db, fq, tmp)
-            if not np.array_equal(ours_counts, base_counts):
-                diff = int((ours_counts != base_counts).sum())
-                print(f"WARNING: counts differ from jellyfish at {diff} "
-                      f"positions", file=sys.stderr)
-            vs = ours_rps / base_rps
-        else:
-            vs = float("nan")
+        detail = {}
+        for tag, genome_len, n_reads in TIERS:
+            detail[tag] = run_tier(tmp, tag, genome_len, n_reads)
+        head = detail["ecoli"]
         print(json.dumps({
-            "metric": "kmer_match_reads_per_s",
-            "value": round(ours_rps, 1),
+            "metric": "kmer_match_reads_per_s_ecoli_scale",
+            "value": head["ours_reads_s"],
             "unit": "reads/s",
-            "vs_baseline": round(vs, 2),
+            "vs_baseline": head["vs_baseline"],
+            "detail": detail,
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

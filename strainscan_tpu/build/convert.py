@@ -342,9 +342,7 @@ def export_reference_db(db_dir: str, out_dir: str) -> None:
     with open(os.path.join(tdir, "reconstructed_nodes.txt"), "w") as f:
         for nid in db.reconstructed:
             f.write(f"{nid}\n")
-    with open(os.path.join(tdir, "kmer.fa"), "w") as f:
-        for x in db.all_kmers:
-            f.write(f">1\n{pack.decode_kmer(int(x), k)}\n")
+    pack.write_kmer_fa(os.path.join(tdir, "kmer.fa"), db.all_kmers, k)
     for nid, ids in db.node_kmers.items():
         with open(os.path.join(tdir, "kmers", str(nid)), "w") as f:
             f.write("".join(f"{int(i)} " for i in ids))

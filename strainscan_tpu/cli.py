@@ -115,9 +115,28 @@ def _enable_compile_cache() -> None:
         logging.debug("compilation cache unavailable: %s", e)
 
 
+def _pin_platform() -> None:
+    """Honor STRAINSCAN_PLATFORM=cpu|tpu|... before any backend use.
+
+    Needed because site hooks (e.g. a remote-TPU sitecustomize) may
+    override the JAX_PLATFORMS environment variable at interpreter start;
+    ``jax.config.update`` still wins if applied before first backend use.
+    """
+    plat = os.environ.get("STRAINSCAN_PLATFORM", "")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception as e:  # pragma: no cover
+        logging.warning("could not pin platform %r: %s", plat, e)
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(asctime)s - %(message)s",
                         level=logging.INFO)
+    _pin_platform()
     _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="strainscan-tpu",

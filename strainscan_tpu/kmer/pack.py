@@ -103,6 +103,37 @@ def decode_kmer(kmer: int, k: int) -> str:
     return out.decode("ascii")
 
 
+def decode_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized batch decode: packed uint64 [N] -> ASCII uint8 [N, k].
+
+    View the result as ``S{k}`` (``.view(f'S{k}')``) for string rows.  The
+    batch counterpart of :func:`decode_kmer` — writing the reference
+    layout's kmer.fa at E. coli scale (28.6M entries) needs this; the
+    scalar loop takes minutes where k shift passes take ~2 s.
+    """
+    x = np.asarray(kmers, dtype=np.uint64)
+    out = np.empty((x.size, k), dtype=np.uint8)
+    for i in range(k):
+        out[:, k - 1 - i] = _BASES[(x >> np.uint64(2 * i)) & np.uint64(3)]
+    return out
+
+
+def write_kmer_fa(path: str, kmers: np.ndarray, k: int,
+                  header: bytes = b">1") -> None:
+    """Write a reference-format k-mer FASTA (``>1\\n<kmer>\\n`` rows,
+    build/convert.py export + jellyfish ``--if`` input) in one vectorized
+    pass: rows are assembled as a [N, len(header)+k+2] byte matrix and
+    dumped with ``tofile``."""
+    km = np.asarray(kmers, dtype=np.uint64)
+    h = np.frombuffer(header + b"\n", dtype=np.uint8)
+    row = h.size + k + 1
+    out = np.empty((km.size, row), dtype=np.uint8)
+    out[:, :h.size] = h
+    out[:, h.size:h.size + k] = decode_kmers(km, k)
+    out[:, -1] = ord("\n")
+    out.tofile(path)
+
+
 def split_u64(x: np.ndarray):
     """uint64 -> (hi uint32, lo uint32) for device transport."""
     x = np.asarray(x, dtype=np.uint64)

@@ -204,6 +204,63 @@ def _remap_device(slot_counts: jax.Array, slot_of_id: jax.Array) -> jax.Array:
     return slot_counts.at[slot_of_id].get(mode="promise_in_bounds")
 
 
+@jax.jit
+def _count_stats(counts: jax.Array) -> jax.Array:
+    """[max, nonzero] of a count vector — 8 bytes d2h to pick the
+    cheapest fetch encoding for the full vector."""
+    return jnp.stack([jnp.max(counts),
+                      jnp.count_nonzero(counts).astype(jnp.int32)])
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _sparse_fetch(counts: jax.Array, size: int):
+    """(indices int32 [size], values int32 [size]) of the nonzero counts,
+    zero-padded.  ``size`` is bucketed to a power of two by the caller so
+    the jit cache stays small."""
+    (idx,) = jnp.nonzero(counts, size=size, fill_value=0)
+    n = jnp.count_nonzero(counts)
+    vals = jnp.where(jnp.arange(size) < n,
+                     counts.at[idx].get(mode="promise_in_bounds"), 0)
+    return idx.astype(jnp.int32), vals
+
+
+def fetch_counts(dev_counts, n_keys: int) -> np.ndarray:
+    """Device counts -> host int32 array with the cheapest d2h encoding.
+
+    The d2h link is the scarce resource on tunneled/PCIe TPU setups
+    (~25-60 MB/s observed vs >1 GB/s h2d); a 28.6M-key (E. coli-scale)
+    id-space fetch is 114 MB as int32.  Device-side stats (8 B) pick:
+
+    * sparse (nonzero idx + values) when few keys were touched — the
+      identify case: a 12k-read sample hits ~1.5M of 28.6M keys;
+    * uint16 values when max count < 65536 (always true in practice;
+      the reference's jellyfish pipeline parses full ints, so fall back
+      to int32 above that for bit-exactness);
+    * dense int32 otherwise.
+
+    Bit-exact with ``np.asarray(device_get(dev_counts))`` in all cases.
+    """
+    maxc, nnz = (int(x) for x in jax.device_get(_count_stats(dev_counts)))
+    small = maxc < (1 << 16)
+    vbytes = 2 if small else 4
+    dense_bytes = n_keys * vbytes
+    sparse_bytes = nnz * (4 + vbytes)
+    if sparse_bytes < dense_bytes // 2 and nnz > 0:
+        size = 1 << max(10, (nnz - 1).bit_length())
+        if size < n_keys:
+            idx, vals = _sparse_fetch(dev_counts, size)
+            if small:
+                vals = vals.astype(jnp.uint16)
+            idx, vals = jax.device_get((idx, vals))
+            out = np.zeros(n_keys, dtype=np.int32)
+            out[idx[:nnz]] = vals[:nnz].astype(np.int32)
+            return out
+    if small:
+        return np.asarray(
+            jax.device_get(dev_counts.astype(jnp.uint16))).astype(np.int32)
+    return np.asarray(jax.device_get(dev_counts))
+
+
 class CountPipeline:
     """Streaming counter over read batches against one DB k-mer table.
 
@@ -350,5 +407,5 @@ class CountPipeline:
                 soi = jnp.asarray(self.fpt.slot_of_id())
                 self._soi_dev = soi
             id_counts = _remap_device(self.counts, soi)
-            return np.asarray(jax.device_get(id_counts))
-        return np.asarray(jax.device_get(self.counts))
+            return fetch_counts(id_counts, self.table.n_keys)
+        return fetch_counts(self.counts, self.table.n_keys)

@@ -57,3 +57,33 @@ def test_device_canonical_matches_host():
         km, _ = pack.pack_kmers(codes[r], k)
         expect = pack.canonical_packed(km, k)
         assert np.array_equal(pack.join_u32(chi[r], clo[r]), expect)
+
+
+def test_fetch_counts_encodings():
+    """fetch_counts must be bit-exact with a plain dense device_get across
+    its three encodings (sparse, uint16-dense, int32-dense)."""
+    import jax.numpy as jnp
+
+    from strainscan_tpu.ops.count import fetch_counts
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    # sparse + small values
+    a = np.zeros(n, np.int32)
+    idx = rng.choice(n, size=500, replace=False)
+    a[idx] = rng.integers(1, 60000, size=500)
+    assert np.array_equal(fetch_counts(jnp.asarray(a), n), a)
+    # sparse + one huge value (forces int32 values)
+    b = a.copy()
+    b[idx[0]] = 1 << 20
+    assert np.array_equal(fetch_counts(jnp.asarray(b), n), b)
+    # dense small values -> uint16 fetch
+    c = rng.integers(0, 65535, size=n).astype(np.int32)
+    assert np.array_equal(fetch_counts(jnp.asarray(c), n), c)
+    # dense with large values -> plain int32
+    d = c.copy()
+    d[7] = 1 << 30
+    assert np.array_equal(fetch_counts(jnp.asarray(d), n), d)
+    # all-zero
+    z = np.zeros(n, np.int32)
+    assert np.array_equal(fetch_counts(jnp.asarray(z), n), z)

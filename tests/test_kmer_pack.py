@@ -189,3 +189,20 @@ def test_vlen_and_vbytes_pipelines_agree():
                 exp[idx] += 1
     assert np.array_equal(got, exp)
     assert got.sum() < clean.sum()
+
+
+def test_decode_kmers_batch_and_fa(tmp_path):
+    rng = np.random.default_rng(11)
+    k = 31
+    km = rng.integers(0, 1 << 62, size=1000, dtype=np.uint64)
+    km &= (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    rows = pack.decode_kmers(km, k)
+    assert rows.shape == (1000, k)
+    for i in [0, 17, 999]:
+        assert rows[i].tobytes().decode() == pack.decode_kmer(int(km[i]), k)
+    fa = tmp_path / "kmer.fa"
+    pack.write_kmer_fa(str(fa), km, k)
+    lines = fa.read_bytes().decode().splitlines()
+    assert len(lines) == 2000
+    assert lines[0] == ">1"
+    assert lines[3] == pack.decode_kmer(int(km[1]), k)

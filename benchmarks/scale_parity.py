@@ -50,21 +50,35 @@ def run_ours():
         print(f"d2h warm {time.time()-t0:.0f}s", flush=True)
     except Exception as e:
         print(f"d2h warm failed: {e}", flush=True)
+    from strainscan_tpu.utils.profiling import PHASE_TIMES
+
+    phases = {}
+
+    def snap(tag):
+        phases[tag] = {k: round(v, 2) for k, v in PHASE_TIMES.items()
+                       if k.startswith(("identify/", "l2/"))}
+        PHASE_TIMES.clear()
+
     for i, s in enumerate(SAMPLES):
         fq = os.path.join(SCALE, "samples", s + ".fq")
         out = os.path.join(OUT, "ours_" + s)
         t0 = time.time()
         run_identify(fq, "", db, out, IdentifyConfig())
         timings[s] = round(time.time() - t0, 1)
-        print(f"ours {s}: {timings[s]}s", flush=True)
+        snap(s)
+        print(f"ours {s}: {timings[s]}s {phases[s]}", flush=True)
     # warm steady-state: rerun the first sample in-process (table resident,
     # jit cached) — the per-sample latency a serving deployment would see
-    fq = os.path.join(SCALE, "samples", SAMPLES[0] + ".fq")
-    t0 = time.time()
-    run_identify(fq, "", db, os.path.join(OUT, "ours_warm"), IdentifyConfig())
-    timings["warm_" + SAMPLES[0]] = round(time.time() - t0, 1)
-    print(f"ours warm {SAMPLES[0]}: {timings['warm_' + SAMPLES[0]]}s",
-          flush=True)
+    for s in SAMPLES:
+        fq = os.path.join(SCALE, "samples", s + ".fq")
+        t0 = time.time()
+        run_identify(fq, "", db, os.path.join(OUT, "ours_warm_" + s),
+                     IdentifyConfig())
+        timings["warm_" + s] = round(time.time() - t0, 1)
+        snap("warm_" + s)
+        print(f"ours warm {s}: {timings['warm_' + s]}s {phases['warm_' + s]}",
+              flush=True)
+    timings["phases"] = phases
     with open(os.path.join(OUT, "ours_timings.json"), "w") as f:
         json.dump(timings, f)
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from strainscan_tpu.config import IdentifyConfig
 from strainscan_tpu.ops import enet
+from strainscan_tpu.utils import profiling
 
 
 def _stat_cov(col: np.ndarray, y: np.ndarray) -> Tuple[float, int, int]:
@@ -248,7 +249,8 @@ def detect_strains(
             dominant, X, py_u if py_u.sum() > 0 else py)
     else:
         yy = py_u if py_u.sum() > 0 else py
-        dominant = _optimize_dominant(X, yy)
+        with profiling.phase_acc("l2/optimize_dominant"):
+            dominant = _optimize_dominant(X, yy)
         dominant_avg_depth = _avg_depth(dominant, X, yy)
 
     out_columns = [dominant]
@@ -301,7 +303,8 @@ def detect_strains(
     keep = ~((py < npp25) | (py > npp75) | (py > npp_out))
     Xf = oX[keep]
     yf = py[keep]
-    result = enet.enet_cv_fit(Xf, yf, cfg)
+    with profiling.phase_acc("l2/enet_cv_fit"):
+        result = enet.enet_cv_fit(Xf, yf, cfg)
     coef = np.atleast_1d(result.coef)
     if coef.sum() != 0:
         norm = coef / coef.sum()

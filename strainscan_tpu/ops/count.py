@@ -402,10 +402,13 @@ class CountPipeline:
         (4x larger at load factor 0.25) would dominate stream-end latency.
         """
         if self.fpt is not None:
-            soi = getattr(self, "_soi_dev", None)
+            # cached on the FpTable, not the pipeline: a fresh pipeline is
+            # built per sample, and re-uploading slot_of_id is a 114 MB h2d
+            # at E. coli scale
+            soi = getattr(self.fpt, "_soi_dev", None)
             if soi is None:
                 soi = jnp.asarray(self.fpt.slot_of_id())
-                self._soi_dev = soi
+                object.__setattr__(self.fpt, "_soi_dev", soi)
             id_counts = _remap_device(self.counts, soi)
             return fetch_counts(id_counts, self.table.n_keys)
         return fetch_counts(self.counts, self.table.n_keys)

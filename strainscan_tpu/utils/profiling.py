@@ -47,3 +47,13 @@ def phase(name: str):
     dt = time.time() - t0
     PHASE_TIMES[name] = dt
     log.info("phase %-28s %8.2fs  rss %.2f GB", name, dt, _rss_gb())
+
+
+@contextlib.contextmanager
+def phase_acc(name: str):
+    """Accumulating (silent) variant of :func:`phase` for hot spots called
+    many times — e.g. the per-cluster L2 host loops; read the totals from
+    PHASE_TIMES after the run."""
+    t0 = time.time()
+    yield
+    PHASE_TIMES[name] = PHASE_TIMES.get(name, 0.0) + (time.time() - t0)

@@ -427,7 +427,11 @@ class ShardedCountPipeline:
         soi_dev = jax.device_put(
             self.st.soi, NamedSharding(self.mesh, P("index", None)))
         per_id = self._finish_fn()(self._total, soi_dev)
-        flat = np.asarray(jax.device_get(per_id)).reshape(-1)
+        # d2h compaction (see ops.count.fetch_counts): counts almost never
+        # exceed uint16 — check the max (8B d2h) and fetch half the bytes.
+        if int(jax.device_get(jnp.max(per_id))) < (1 << 16):
+            per_id = per_id.astype(jnp.uint16)
+        flat = np.asarray(jax.device_get(per_id)).astype(np.int64).reshape(-1)
         vm = self.st.value_map
         valid = vm >= 0
         out[vm[valid]] = flat[valid]

@@ -42,6 +42,7 @@ import numpy as np
 
 from strainscan_tpu.config import BuildConfig
 from strainscan_tpu.io import fastx
+from strainscan_tpu.kmer import pack
 from strainscan_tpu.utils.trees import BinTree
 
 
@@ -237,12 +238,12 @@ def build_cst(
             parts.append(spec[cid])
         concat = (np.concatenate(parts) if parts
                   else np.empty(0, dtype=np.uint64))
-        # np.unique WITHOUT return_inverse: the inverse path pays a full
-        # argsort (~3x a plain sort at 300M entries / 1400-strain scale);
-        # per-leaf searchsorted over the already-sorted leaf arrays
-        # reproduces the same ids bit-for-bit (every element is in the
-        # universe by construction).
-        universe = np.unique(concat)
+        # Native LSD radix sort + dedup (NumPy's comparison sort dominated
+        # this stage at 300M entries / 1400-strain scale), then a galloping
+        # sorted-lookup per leaf reproduces np.unique's inverse ids
+        # bit-for-bit (per-leaf arrays are sorted np.unique output, and
+        # every element is in the universe by construction).
+        universe = pack.sort_unique_u64(concat)
         del concat, parts
         n_univ = int(universe.size)
         if n_univ >= 2**31:
@@ -251,20 +252,14 @@ def build_cst(
                 f"space caps at 2^31-1 (split the build or raise alpha_ratio)")
         for cid in leaf_ids:
             for d_ in (Lv, spec):
-                d_[cid] = np.searchsorted(
-                    universe, d_[cid]).astype(np.int32)
+                d_[cid] = pack.lookup_sorted_u64(universe, d_[cid])
 
     def to_ids(arr: np.ndarray) -> np.ndarray:
-        ids = np.searchsorted(universe, arr)
         # closed-universe invariant: Lv|spec covers all member-genome
         # k-mers, so every re-extracted merged-leaf k-mer must map in;
-        # searchsorted would silently alias on a miss, so verify.
-        if arr.size and not bool(
-                (universe[np.minimum(ids, n_univ - 1)] == arr).all()):
-            raise AssertionError(
-                "k-mer outside the global id universe (closed-universe "
-                "invariant violated)")
-        return ids.astype(np.int32)
+        # lookup_sorted_u64 raises on a miss (searchsorted would silently
+        # alias another id).
+        return pack.lookup_sorted_u64(universe, arr)
 
     # ------------------------------------------------- weak-leaf merging
     # distinct k-mers of leaf i = Lv[i] minus every other leaf's Lv|spec

@@ -134,6 +134,54 @@ def write_kmer_fa(path: str, kmers: np.ndarray, k: int,
     out.tofile(path)
 
 
+def sort_unique_u64(arr: np.ndarray) -> np.ndarray:
+    """``np.unique`` for flat uint64 arrays, ~5x faster at the CST
+    builder's id_space scale: ``np.sort`` dispatches to the vectorized
+    (AVX) integer sort while ``np.unique``'s flatten+``.sort()`` path
+    does not, and the dedup mask is two vector ops.  (A native LSD radix
+    sort was tried and LOST to the AVX sort 3x — see round-3 notes.)"""
+    arr = np.asarray(arr, dtype=np.uint64)
+    if arr.size == 0:
+        return np.unique(arr)
+    s = np.sort(arr, kind="quicksort")
+    mask = np.empty(s.shape, dtype=bool)
+    mask[0] = True
+    np.not_equal(s[1:], s[:-1], out=mask[1:])
+    return s[mask]
+
+
+def lookup_sorted_u64(universe: np.ndarray, arr: np.ndarray) -> np.ndarray:
+    """int32 indices of ``arr``'s elements in ascending-sorted
+    ``universe`` — ``np.searchsorted`` with a closed-universe check.
+    ``arr`` must be ascending (np.unique output).  Raises if any element
+    is absent (a searchsorted miss would silently alias another id)."""
+    universe = np.ascontiguousarray(universe, dtype=np.uint64)
+    arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    from strainscan_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "u64_lookup_sorted"):
+        import ctypes
+
+        ids = np.empty(arr.size, dtype=np.int32)
+        miss = lib.u64_lookup_sorted(
+            universe.ctypes.data_as(ctypes.c_void_p), universe.size,
+            arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+            ids.ctypes.data_as(ctypes.c_void_p))
+        if miss:
+            raise AssertionError(
+                "k-mer outside the global id universe (closed-universe "
+                "invariant violated)")
+        return ids
+    ids = np.searchsorted(universe, arr)
+    if arr.size and not bool(
+            (universe[np.minimum(ids, universe.size - 1)] == arr).all()):
+        raise AssertionError(
+            "k-mer outside the global id universe (closed-universe "
+            "invariant violated)")
+    return ids.astype(np.int32)
+
+
 def split_u64(x: np.ndarray):
     """uint64 -> (hi uint32, lo uint32) for device transport."""
     x = np.asarray(x, dtype=np.uint64)

@@ -94,5 +94,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_longlong, ctypes.c_int, ctypes.c_uint32,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.u64_lookup_sorted.restype = ctypes.c_int
+        lib.u64_lookup_sorted.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_void_p]
         _LIB = lib
         return _LIB

@@ -433,3 +433,39 @@ void pack_codes(const unsigned char *codes, long long b, int length,
         }
     }
 }
+
+/* ------------------------------------------------------------------ *
+ * Sorted-uint64 set primitives for the CST builder's global id space
+ * (build/tree_build.py "id_space" stage).  At E. coli scale the stage
+ * binary-searches ~300M uint64 back into a 30M universe; a galloping
+ * cursor over the already-sorted per-leaf arrays is ~5x faster and
+ * verifies the closed-universe invariant for free.
+ * ------------------------------------------------------------------ */
+
+/* ids[i] = index of arr[i] in the ascending-sorted universe[0..nu).
+   arr must be ascending too (per-leaf k-mer sets are np.unique output);
+   a galloping cursor makes the whole array one forward sweep.
+   Returns 0 when every element was found, 1 otherwise (closed-universe
+   invariant violated — caller raises). */
+int u64_lookup_sorted(const uint64_t *universe, long long nu,
+                      const uint64_t *arr, long long n, int32_t *ids) {
+    long long cur = 0;
+    int miss = 0;
+    for (long long i = 0; i < n; i++) {
+        uint64_t x = arr[i];
+        /* gallop forward from cur */
+        long long lo = cur, step = 1;
+        while (lo + step < nu && universe[lo + step] < x) {
+            lo += step; step <<= 1;
+        }
+        long long hi = lo + step; if (hi > nu) hi = nu;
+        while (lo < hi) {                       /* first index >= x */
+            long long mid = lo + ((hi - lo) >> 1);
+            if (universe[mid] < x) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= nu || universe[lo] != x) { miss = 1; lo = lo < nu ? lo : nu - 1; }
+        ids[i] = (int32_t)lo;
+        cur = lo;
+    }
+    return miss;
+}

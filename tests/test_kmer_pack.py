@@ -206,3 +206,29 @@ def test_decode_kmers_batch_and_fa(tmp_path):
     assert len(lines) == 2000
     assert lines[0] == ">1"
     assert lines[3] == pack.decode_kmer(int(km[1]), k)
+
+
+def test_sort_unique_and_lookup_u64():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 1 << 62, size=300_000, dtype=np.uint64)
+    arr = np.concatenate([arr, arr[:50_000]])          # force duplicates
+    expect = np.unique(arr)
+    got = pack.sort_unique_u64(arr.copy())
+    assert np.array_equal(got, expect)
+    # lookup over sorted subsets reproduces searchsorted ids
+    sub = np.unique(rng.choice(expect, size=80_000, replace=False))
+    ids = pack.lookup_sorted_u64(expect, sub)
+    assert ids.dtype == np.int32
+    assert np.array_equal(ids, np.searchsorted(expect, sub).astype(np.int32))
+    # empty inputs
+    assert pack.sort_unique_u64(np.empty(0, np.uint64)).size == 0
+    assert pack.lookup_sorted_u64(expect, np.empty(0, np.uint64)).size == 0
+    # a value outside the universe must raise, not alias
+    missing = expect[12] + np.uint64(1)
+    if missing not in expect:
+        with pytest.raises(AssertionError):
+            pack.lookup_sorted_u64(expect, np.array([missing], np.uint64))
+    # edge values: below min and above max
+    with pytest.raises(AssertionError):
+        pack.lookup_sorted_u64(
+            expect, np.array([expect[-1] + np.uint64(1)], np.uint64))

@@ -241,23 +241,24 @@ def fetch_counts(dev_counts, n_keys: int) -> np.ndarray:
     Bit-exact with ``np.asarray(device_get(dev_counts))`` in all cases.
     """
     maxc, nnz = (int(x) for x in jax.device_get(_count_stats(dev_counts)))
-    small = maxc < (1 << 16)
-    vbytes = 2 if small else 4
+    vdtype = (jnp.uint8 if maxc < (1 << 8)
+              else jnp.uint16 if maxc < (1 << 16) else None)
+    vbytes = 1 if maxc < (1 << 8) else 2 if maxc < (1 << 16) else 4
     dense_bytes = n_keys * vbytes
     sparse_bytes = nnz * (4 + vbytes)
     if sparse_bytes < dense_bytes // 2 and nnz > 0:
         size = 1 << max(10, (nnz - 1).bit_length())
         if size < n_keys:
             idx, vals = _sparse_fetch(dev_counts, size)
-            if small:
-                vals = vals.astype(jnp.uint16)
+            if vdtype is not None:
+                vals = vals.astype(vdtype)
             idx, vals = jax.device_get((idx, vals))
             out = np.zeros(n_keys, dtype=np.int32)
             out[idx[:nnz]] = vals[:nnz].astype(np.int32)
             return out
-    if small:
+    if vdtype is not None:
         return np.asarray(
-            jax.device_get(dev_counts.astype(jnp.uint16))).astype(np.int32)
+            jax.device_get(dev_counts.astype(vdtype))).astype(np.int32)
     return np.asarray(jax.device_get(dev_counts))
 
 

@@ -87,3 +87,19 @@ def test_fetch_counts_encodings():
     # all-zero
     z = np.zeros(n, np.int32)
     assert np.array_equal(fetch_counts(jnp.asarray(z), n), z)
+
+
+def test_fetch_counts_dtype_boundaries():
+    """Exact behavior at the uint8/uint16 encoding boundaries."""
+    import jax.numpy as jnp
+
+    from strainscan_tpu.ops.count import fetch_counts
+
+    n = 4096
+    for boundary in (255, 256, 65535, 65536):
+        a = np.zeros(n, np.int32)
+        a[0] = boundary
+        a[1] = 1
+        assert np.array_equal(fetch_counts(jnp.asarray(a), n), a), boundary
+        d = np.full(n, boundary, np.int32)
+        assert np.array_equal(fetch_counts(jnp.asarray(d), n), d), boundary

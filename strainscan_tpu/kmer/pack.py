@@ -182,6 +182,87 @@ def lookup_sorted_u64(universe: np.ndarray, arr: np.ndarray) -> np.ndarray:
     return ids.astype(np.int32)
 
 
+def merge_unique_sorted_u64(arrays) -> np.ndarray:
+    """Union of many ascending-unique uint64 arrays via one native k-way
+    heap merge — no 2.4 GB concat + re-sort (the CST id_space builder's
+    input is ~3300 per-leaf np.unique outputs totaling ~300M entries).
+    Falls back to :func:`sort_unique_u64` of the concatenation."""
+    arrays = [np.ascontiguousarray(a, dtype=np.uint64) for a in arrays
+              if a is not None and a.size]
+    if not arrays:
+        return np.empty(0, dtype=np.uint64)
+    if len(arrays) == 1:
+        return arrays[0].copy()
+    from strainscan_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "u64_kway_merge_unique"):
+        return sort_unique_u64(np.concatenate(arrays))
+    import ctypes
+
+    k = len(arrays)
+    ptrs = (ctypes.c_void_p * k)(*[a.ctypes.data for a in arrays])
+    lens = np.array([a.size for a in arrays], dtype=np.int64)
+    total = int(lens.sum())
+    out = np.empty(total, dtype=np.uint64)   # only the prefix is touched
+    m = lib.u64_kway_merge_unique(
+        ptrs, lens.ctypes.data_as(ctypes.c_void_p), k,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if m < 0:
+        return sort_unique_u64(np.concatenate(arrays))
+    return out[:m].copy()
+
+
+_SORTED_OPS = {}
+
+
+def _sorted_op(kind: str, a: np.ndarray, b: np.ndarray,
+               out_cap: int) -> "np.ndarray | None":
+    """Dispatch a native sorted-set op; None -> caller falls back."""
+    if a.dtype != b.dtype or a.dtype.type not in (np.int32, np.uint64):
+        return None
+    from strainscan_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    key = ("i32" if a.dtype.type is np.int32 else "u64") + kind
+    fn = _SORTED_OPS.get(key)
+    if fn is None:
+        fn = getattr(lib, key, None)
+        if fn is None:
+            return None
+        _SORTED_OPS[key] = fn
+    import ctypes
+
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    out = np.empty(out_cap, dtype=a.dtype)
+    m = fn(a.ctypes.data_as(ctypes.c_void_p), a.size,
+           b.ctypes.data_as(ctypes.c_void_p), b.size,
+           out.ctypes.data_as(ctypes.c_void_p))
+    return out[:m]
+
+
+def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``np.intersect1d(a, b, assume_unique=True)`` for ascending unique
+    int32/uint64 arrays via one native linear merge (np re-sorts the
+    concatenation) — the CST builder's hot set op."""
+    got = _sorted_op("_sorted_intersect", a, b, min(a.size, b.size))
+    if got is not None:
+        return got
+    return np.intersect1d(a, b, assume_unique=True)
+
+
+def sorted_diff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``np.setdiff1d(a, b, assume_unique=True)`` for ascending unique
+    int32/uint64 arrays via one native linear merge."""
+    got = _sorted_op("_sorted_diff", a, b, a.size)
+    if got is not None:
+        return got
+    return np.setdiff1d(a, b, assume_unique=True)
+
+
 def split_u64(x: np.ndarray):
     """uint64 -> (hi uint32, lo uint32) for device transport."""
     x = np.asarray(x, dtype=np.uint64)

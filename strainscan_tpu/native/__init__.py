@@ -98,5 +98,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.u64_lookup_sorted.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_void_p]
+        lib.u64_kway_merge_unique.restype = ctypes.c_longlong
+        lib.u64_kway_merge_unique.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        for fn in (lib.i32_sorted_intersect, lib.i32_sorted_diff,
+                   lib.u64_sorted_intersect, lib.u64_sorted_diff):
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                           ctypes.c_void_p, ctypes.c_longlong,
+                           ctypes.c_void_p]
         _LIB = lib
         return _LIB

@@ -469,3 +469,112 @@ int u64_lookup_sorted(const uint64_t *universe, long long nu,
     }
     return miss;
 }
+
+/* Sorted-set intersection / difference over unique ascending arrays —
+   the CST builder's core algebra (build/tree_build.py _intersect /
+   _setdiff).  np.intersect1d re-sorts the concatenation and setdiff1d
+   re-sorts for in1d; for already-sorted inputs one linear merge (with a
+   gallop when the sides are badly skewed) is several times faster.
+   Output buffers: intersect needs min(na, nb) slots, diff needs na. */
+
+#define SORTED_MERGE_OPS(T, SFX)                                          \
+static long long gallop_##SFX(const T *b, long long nb, long long j, T x) { \
+    long long step = 1;                                                   \
+    while (j + step < nb && b[j + step] < x) { j += step; step <<= 1; }   \
+    long long hi = j + step; if (hi > nb) hi = nb;                        \
+    while (j < hi) {                                                      \
+        long long mid = j + ((hi - j) >> 1);                              \
+        if (b[mid] < x) j = mid + 1; else hi = mid;                       \
+    }                                                                     \
+    return j;                                                             \
+}                                                                         \
+long long SFX##_sorted_intersect(const T *a, long long na,                \
+                                 const T *b, long long nb, T *out) {      \
+    long long i = 0, j = 0, m = 0;                                        \
+    int skew = (na > 32 * nb) || (nb > 32 * na);                          \
+    while (i < na && j < nb) {                                            \
+        if (a[i] < b[j]) {                                                \
+            i++;                                                          \
+            if (skew && i < na && a[i] < b[j])                            \
+                i = gallop_##SFX(a, na, i, b[j]);                         \
+        } else if (b[j] < a[i]) {                                         \
+            j++;                                                          \
+            if (skew && j < nb && b[j] < a[i])                            \
+                j = gallop_##SFX(b, nb, j, a[i]);                         \
+        } else { out[m++] = a[i]; i++; j++; }                             \
+    }                                                                     \
+    return m;                                                             \
+}                                                                         \
+long long SFX##_sorted_diff(const T *a, long long na,                     \
+                            const T *b, long long nb, T *out) {           \
+    long long i = 0, j = 0, m = 0;                                        \
+    int skew = nb > 32 * na;                                              \
+    while (i < na && j < nb) {                                            \
+        if (a[i] < b[j]) { out[m++] = a[i]; i++; }                        \
+        else if (b[j] < a[i]) {                                           \
+            j++;                                                          \
+            if (skew && j < nb && b[j] < a[i])                            \
+                j = gallop_##SFX(b, nb, j, a[i]);                         \
+        }                                                                 \
+        else { i++; j++; }                                                \
+    }                                                                     \
+    while (i < na) out[m++] = a[i++];                                     \
+    return m;                                                             \
+}
+
+SORTED_MERGE_OPS(int32_t, i32)
+SORTED_MERGE_OPS(uint64_t, u64)
+
+/* K-way merge-unique of already-sorted unique uint64 arrays — builds the
+   CST id_space universe without materializing + re-sorting the 2.4 GB
+   concatenation (the per-leaf Lv/spec sets are each np.unique output).
+   Binary min-heap of (head value, source); out must hold sum(lens) in
+   the worst case (only the unique prefix is written).  Returns the
+   unique count. */
+long long u64_kway_merge_unique(const uint64_t **arrs, const long long *lens,
+                                int k, uint64_t *out) {
+    typedef struct { uint64_t v; int s; } node_t;
+    node_t *heap = (node_t *)malloc((size_t)(k > 0 ? k : 1) * sizeof(node_t));
+    long long *pos = (long long *)calloc((size_t)(k > 0 ? k : 1),
+                                         sizeof(long long));
+    if (!heap || !pos) { free(heap); free(pos); return -1; }
+    int hn = 0;
+    for (int s = 0; s < k; s++) {
+        if (lens[s] <= 0) continue;
+        node_t n = { arrs[s][0], s };
+        int i = hn++;                              /* sift up */
+        while (i > 0) {
+            int p = (i - 1) >> 1;
+            if (heap[p].v <= n.v) break;
+            heap[i] = heap[p]; i = p;
+        }
+        heap[i] = n;
+    }
+    long long m = 0;
+    uint64_t last = 0; int have_last = 0;
+    while (hn > 0) {
+        node_t top = heap[0];
+        if (!have_last || top.v != last) {
+            out[m++] = top.v; last = top.v; have_last = 1;
+        }
+        int s = top.s;
+        node_t n;
+        if (++pos[s] < lens[s]) {
+            n = (node_t){ arrs[s][pos[s]], s };
+        } else {
+            n = heap[--hn];
+            if (hn == 0) break;
+        }
+        int i = 0;                                  /* sift down */
+        for (;;) {
+            int l = 2 * i + 1, r = l + 1, sm = i;
+            if (l < hn && heap[l].v < n.v) sm = l;
+            if (r < hn && heap[r].v < (sm == i ? n.v : heap[l].v)) sm = r;
+            if (sm == i) break;
+            heap[i] = heap[sm]; i = sm;
+        }
+        heap[i] = n;
+    }
+    free(heap); free(pos);
+    return m;
+}

@@ -232,3 +232,35 @@ def test_sort_unique_and_lookup_u64():
     with pytest.raises(AssertionError):
         pack.lookup_sorted_u64(
             expect, np.array([expect[-1] + np.uint64(1)], np.uint64))
+
+
+def test_sorted_intersect_diff():
+    rng = np.random.default_rng(9)
+    for dtype, hi in ((np.int32, 1 << 30), (np.uint64, 1 << 60)):
+        for na, nb in [(0, 10), (10, 0), (1000, 1000), (100_000, 50),
+                       (50, 100_000), (7, 7)]:
+            a = np.unique(rng.integers(0, hi, size=na).astype(dtype))
+            b = np.unique(rng.integers(0, hi, size=nb).astype(dtype))
+            # overlap half of a into b so intersections are non-trivial
+            if a.size and b.size:
+                b = np.unique(np.concatenate([b, a[::2]]))
+            assert np.array_equal(
+                pack.sorted_intersect(a, b),
+                np.intersect1d(a, b, assume_unique=True))
+            assert np.array_equal(
+                pack.sorted_diff(a, b),
+                np.setdiff1d(a, b, assume_unique=True))
+
+
+def test_merge_unique_sorted_u64():
+    rng = np.random.default_rng(13)
+    pool = np.unique(rng.integers(0, 1 << 62, size=200_000, dtype=np.uint64))
+    arrays = [np.unique(rng.choice(pool, size=rng.integers(1, 5000)))
+              for _ in range(150)]
+    arrays += [np.empty(0, np.uint64), np.unique(rng.choice(pool, 50_000))]
+    got = pack.merge_unique_sorted_u64(arrays)
+    expect = np.unique(np.concatenate(arrays))
+    assert np.array_equal(got, expect)
+    assert pack.merge_unique_sorted_u64([]).size == 0
+    one = np.unique(rng.choice(pool, 100))
+    assert np.array_equal(pack.merge_unique_sorted_u64([one]), one)

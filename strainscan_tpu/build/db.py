@@ -85,7 +85,9 @@ def save_tree_stage(out_dir: str, cst: CST) -> None:
         offsets[i + 1] = offsets[i] + cst.node_kmers[n].size
     indices = (np.concatenate(chunks) if chunks
                else np.empty(0, dtype=np.int32))
-    np.savez_compressed(
+    # uncompressed: packed k-mers are near-random bits (poor zlib ratio,
+    # slow inflate on the cold identify path); np.load reads either form
+    np.savez(
         os.path.join(tdir, "kmers.npz"),
         all_kmers=cst.all_kmers,
         node_ids=np.array(node_ids, dtype=np.int64),

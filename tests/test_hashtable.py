@@ -176,3 +176,20 @@ def test_count_pipeline_exact_mode_matches_fp():
     b = CountPipeline(t, probe_mode="exact", packed_transfer=False)
     b.add_batch(codes)
     assert np.array_equal(a.finish(), b.finish())
+
+
+def test_table_load_v1_dense_archive(tmp_path):
+    """Pre-round-3 DBs stored the dense slot arrays; load() must keep
+    reading them (format back-compat for existing databases)."""
+    rng = np.random.default_rng(21)
+    keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
+    t = KmerTable.build(keys, k=31)
+    p = tmp_path / "v1.npz"
+    np.savez(p, key_hi=t.key_hi, key_lo=t.key_lo, val=t.val,
+             meta=np.array([t.n_buckets, t.max_probe, t.n_keys, t.k],
+                           dtype=np.int64))
+    t2 = KmerTable.load(str(p))
+    assert np.array_equal(t.key_hi, t2.key_hi)
+    assert np.array_equal(t.val, t2.val)
+    assert (t2.n_buckets, t2.max_probe, t2.n_keys, t2.k) == \
+        (t.n_buckets, t.max_probe, t.n_keys, t.k)

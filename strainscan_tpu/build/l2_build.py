@@ -166,8 +166,12 @@ def build_cluster_matrix(
     for scid in sorted(subcls):
         group = subcls[scid]
         # rep = member with the most k-mers (strictly greater wins,
-        # first-iterated breaks ties — Recls_withR_new.py:85-92)
-        best, best_n = "", 0
+        # first-iterated breaks ties — Recls_withR_new.py:85-92).  When
+        # every member has ZERO matrix k-mers (e.g. byte-identical
+        # genomes land in one cluster, so no k-mer discriminates), the
+        # reference's pick_rep returns '' and crashes on the id lookup
+        # (Recls_withR_new.py:92,102); keep the first member instead.
+        best, best_n = group[0], 0
         for s in group:
             if totals[sidx[s]] > best_n:
                 best, best_n = s, int(totals[sidx[s]])

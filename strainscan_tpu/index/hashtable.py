@@ -242,8 +242,10 @@ class KmerTable:
         # empty sentinels at load factor 0.25 — zlib shrinks them 3.9x but
         # its inflate dominated the cold identify load (16.6s vs a 2-4s
         # sparse read + scatter at E. coli scale, worse when the host
-        # throttles); sparse-uncompressed matches the compressed size
-        # (~16B/key) with no decompress.  load() reads v1 (dense) too.
+        # throttles); sparse-uncompressed costs ~20B/key (int64 slot —
+        # n_slots exceeds 2^31 above ~134M keys at load 0.25 — + 4B hi +
+        # 4B lo + 4B val), comparable to the compressed dense size with
+        # no decompress.  load() reads v1 (dense) too.
         occ = np.nonzero(self.val >= 0)[0].astype(np.int64)
         np.savez(
             path,

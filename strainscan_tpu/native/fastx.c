@@ -463,7 +463,11 @@ int u64_lookup_sorted(const uint64_t *universe, long long nu,
             long long mid = lo + ((hi - lo) >> 1);
             if (universe[mid] < x) lo = mid + 1; else hi = mid;
         }
-        if (lo >= nu || universe[lo] != x) { miss = 1; lo = lo < nu ? lo : nu - 1; }
+        if (lo >= nu || universe[lo] != x) {
+            miss = 1;
+            lo = lo < nu ? lo : (nu > 0 ? nu - 1 : 0);  /* nu==0: keep cur
+                valid so the next gallop never reads universe[-1] */
+        }
         ids[i] = (int32_t)lo;
         cur = lo;
     }

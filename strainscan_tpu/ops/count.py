@@ -240,6 +240,8 @@ def fetch_counts(dev_counts, n_keys: int) -> np.ndarray:
 
     Bit-exact with ``np.asarray(device_get(dev_counts))`` in all cases.
     """
+    if n_keys == 0:  # degenerate empty table: jnp.max([]) would raise
+        return np.zeros(0, dtype=np.int32)
     maxc, nnz = (int(x) for x in jax.device_get(_count_stats(dev_counts)))
     vdtype = (jnp.uint8 if maxc < (1 << 8)
               else jnp.uint16 if maxc < (1 << 16) else None)

@@ -419,19 +419,30 @@ class ShardedCountPipeline:
 
     def finish(self) -> np.ndarray:
         """int64 [n_keys] counts in the caller's id space.  The data-axis
-        psum and the slot->id remap both run on device, so only
-        ``n_keys`` int32s cross the d2h link."""
+        psum and the slot->id remap both run on device; the d2h fetch
+        shares ``ops.count.fetch_counts`` with the single-device pipeline
+        (device-side stats pick sparse idx+vals / uint8 / uint16 / int32 —
+        a typical identify sample touches ~5% of an E. coli-scale table,
+        so the sparse form is ~20x fewer bytes over the slow tunnel d2h
+        link; counts >= 2^16 automatically fall back to dense int32, so
+        the encoding is bit-exact at any depth)."""
         out = np.zeros(self.st.n_keys, dtype=np.int64)
         if self._total is None:
             return out
+        from strainscan_tpu.ops.count import fetch_counts
+
         soi_dev = jax.device_put(
             self.st.soi, NamedSharding(self.mesh, P("index", None)))
         per_id = self._finish_fn()(self._total, soi_dev)
-        # d2h compaction (see ops.count.fetch_counts): counts almost never
-        # exceed uint16 — check the max (8B d2h) and fetch half the bytes.
-        if int(jax.device_get(jnp.max(per_id))) < (1 << 16):
-            per_id = per_id.astype(jnp.uint16)
-        flat = np.asarray(jax.device_get(per_id)).astype(np.int64).reshape(-1)
+        n_padded = per_id.shape[0] * per_id.shape[1]
+        # gather the id-space counts onto one device first: the compact
+        # fetch's jitted helpers run single-device programs (eager ops on
+        # a submesh-sharded array abort), and an ICI gather of n_keys
+        # int32s is orders of magnitude cheaper than the d2h it optimizes
+        dev0 = self.mesh.devices.flat[0]
+        flat = fetch_counts(
+            jax.device_put(per_id.reshape(-1), dev0), n_padded
+        ).astype(np.int64)
         vm = self.st.value_map
         valid = vm >= 0
         out[vm[valid]] = flat[valid]

@@ -103,3 +103,16 @@ def test_snv_kmers_present(tmp_path):
             r = row_of[packed]
             assert dense[r, col[strain]] == 1
             assert dense[r, col[other]] == 0
+
+
+def test_identical_genomes_zero_kmer_rep(tmp_path):
+    """Byte-identical genomes in one cluster leave every member with ZERO
+    discriminative matrix k-mers; the reference's pick_rep returns '' and
+    crashes on the id lookup (Recls_withR_new.py:85-106).  The builder
+    must fall back to a real member instead of raising."""
+    g = _rnd(5_000)
+    out = _build({"T1": g, "T2": g}, tmp_path)
+    assert out.all_strains == ["T1", "T2"]
+    assert len(out.strains) >= 1
+    assert all(s in ("T1", "T2") for s in out.strains)
+    assert out.matrix.shape[1] == len(out.strains)

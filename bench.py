@@ -184,12 +184,12 @@ def breakdown(pipe, table, fq, first_batch, n_reads):
               seed=pipe.fpt.seed, canonical=False, pallas=pipe.pallas)
     c = jnp.zeros((pipe.fpt.n_slots + 1,), jnp.int32)
     c = count_batch_fp_packed_vlen(c, wd, vl, pipe.dev_table, **kw)
-    jax.block_until_ready(c)
-    iters = 8
-    t0 = time.time()
+    jax.device_get(c[:1])  # block_until_ready can return before the
+    iters = 8              # work really ran on the tunnel backend; a
+    t0 = time.time()       # 1-element fetch is a true barrier
     for _ in range(iters):
         c = count_batch_fp_packed_vlen(c, wd, vl, pipe.dev_table, **kw)
-    jax.block_until_ready(c)
+    jax.device_get(c[:1])
     t_dev = (time.time() - t0) / iters * (nb / first_batch.shape[0])
     nw = n_reads * (READ_LEN + 6 - K + 1)
     log(f"breakdown: parse {t_parse:.2f}s ({nb/t_parse/1e3:.0f}k reads/s) | "

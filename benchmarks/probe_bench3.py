@@ -56,43 +56,68 @@ def log(m):
     print(f"[probe3] {m}", file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """Force REAL completion.  On the tunneled axon backend,
+    ``jax.block_until_ready`` can return before the dispatched programs
+    actually execute (measured: repeated 8.4M-row gathers "completed" in
+    0.3 ms — 135,000 M rows/s — under block_until_ready, but 87.6 M
+    rows/s, exactly PROBE_STUDY's value, when a device_get forces the
+    result).  Fetching one element of the output is the only reliable
+    barrier; its RTT (~0.1 ms warm) is noise at the >100 ms timescales
+    measured here."""
+    return jax.device_get(jnp.ravel(out)[:1])
+
+
 def _timeit(fn, *args, reps=REPS):
+    """Warm once, then time `reps` dispatches ended by a device_get
+    barrier (see _force).  Big outputs are avoided by the benchmarked
+    fns themselves — gathers reduce to small folds, scatters donate
+    their accumulator."""
     out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
+    _force(out)
+    t0 = time.time()
     for _ in range(reps):
-        t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    return float(np.median(times))
+    _force(out)
+    return (time.time() - t0) / reps
+
+
+def _timeit_carry(fn, carry, *args, reps=REPS):
+    """Like _timeit but threads a donated accumulator through the reps."""
+    carry = fn(carry, *args)
+    _force(carry)
+    t0 = time.time()
+    for _ in range(reps):
+        carry = fn(carry, *args)
+    _force(carry)
+    return (time.time() - t0) / reps
 
 
 # ------------------------------------------------------------------ (a)
 def dma_gather_kernel(idx_ref, tab_ref, out_ref, rows, sems, *, tile,
                       nbuf):
-    """Copy tab_ref[idx[t]] rows into out_ref via a nbuf-deep DMA
-    pipeline.  The tile's idx block lives in SMEM so the scalar core can
-    read indices and issue copies ahead of the waits."""
+    """Fetch tab_ref[idx[t]] rows via a nbuf-deep DMA pipeline, folding
+    each row into a small per-tile XOR accumulator (so the benchmark's
+    output stays tiny — the fold is one VPU op, the DMA is the cost).
+    The tile's idx block lives in SMEM so the scalar core can read
+    indices and issue copies ahead of the waits."""
 
     def start(t, slot):
         b = idx_ref[t]
         pltpu.make_async_copy(
             tab_ref.at[b], rows.at[slot], sems.at[slot]).start()
 
-    def wait_and_emit(t, slot):
-        pltpu.make_async_copy(
-            tab_ref.at[idx_ref[t]], rows.at[slot],
-            sems.at[slot]).wait()
-        out_ref[pl.ds(t, 1), :] = rows[pl.ds(slot, 1), :]
-
+    out_ref[:] = jnp.zeros_like(out_ref)
     # prologue: fill the pipeline
     for s in range(nbuf):
         start(s, s)
 
     def body(t, _):
         slot = jnp.bitwise_and(t, nbuf - 1)
-        wait_and_emit(t, slot)
+        pltpu.make_async_copy(
+            tab_ref.at[idx_ref[t]], rows.at[slot],
+            sems.at[slot]).wait()
+        out_ref[pl.ds(slot, 1), :] ^= rows[pl.ds(slot, 1), :]
 
         @pl.when(t + nbuf < tile)
         def _():
@@ -108,36 +133,45 @@ def bench_dma_gather(table, idx, tile=2048, nbuf=8):
     VMEM slices 128-lane-aligned, so the production 64-wide (256 B) row
     cannot be DMA'd individually — already a structural point against
     per-row DMA, and the 512 B row only helps the DMA side (more bytes
-    per issue)."""
+    per issue).  Output: per-(tile, pipeline-slot) XOR folds, checked
+    against a NumPy oracle."""
     w = idx.shape[0]
     roww = table.shape[1]
+    n_tiles = w // tile
     kern = functools.partial(dma_gather_kernel, tile=tile, nbuf=nbuf)
     f = jax.jit(lambda i, t: pl.pallas_call(
         kern,
-        grid=(w // tile,),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile, roww), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((nbuf, roww), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nbuf, roww), jnp.uint32),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((w, roww), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nbuf, roww), jnp.uint32),
     )(i, t))
     dt = _timeit(f, idx, table)
-    # cross-check vs XLA gather on a sample
-    want = np.asarray(jax.device_get(table))[np.asarray(idx[:tile])]
-    got = np.asarray(jax.device_get(f(idx, table)))[:tile]
+    # correctness: XOR-fold oracle over the first tile
+    tab_np = np.asarray(jax.device_get(table))
+    idx_np = np.asarray(idx[:tile])
+    want = np.zeros((nbuf, roww), dtype=np.uint32)
+    for t, b in enumerate(idx_np):
+        want[t & (nbuf - 1)] ^= tab_np[b]
+    got = np.asarray(jax.device_get(f(idx, table)))[:nbuf]
     ok = bool(np.array_equal(got, want))
     return w / dt / 1e6, ok
 
 
 def bench_xla_gather(table, idx):
-    f = jax.jit(lambda i, t: t.at[i].get(mode="promise_in_bounds"))
+    # reduce so the rows are consumed without a GB-scale output
+    # (probe_bench.py methodology)
+    f = jax.jit(lambda i, t: t.at[i].get(
+        mode="promise_in_bounds").sum(dtype=jnp.uint32))
     dt = _timeit(f, idx, table)
     return idx.shape[0] / dt / 1e6
 
@@ -146,13 +180,13 @@ def bench_xla_gather(table, idx):
 def bench_plain_scatter(n_slots, slots):
     w = slots.shape[0]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnames=("c",))
     def f(c, s):
         return c.at[s].add(jnp.ones_like(s, dtype=jnp.int32),
                            mode="promise_in_bounds")
 
     c = jnp.zeros((n_slots + 1,), jnp.int32)
-    dt = _timeit(f, c, slots)
+    dt = _timeit_carry(f, c, slots)
     return w / dt / 1e6
 
 
@@ -163,7 +197,7 @@ def bench_compressed_scatter(n_slots, slots, compact_div):
     w = slots.shape[0]
     m = w // compact_div
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnames=("c",))
     def f(c, s):
         s = jnp.sort(s)
         pos = jnp.arange(w, dtype=jnp.int32)
@@ -182,14 +216,17 @@ def bench_compressed_scatter(n_slots, slots, compact_div):
         upd_val = jnp.where(valid, length[end_idx], 0)
         return c.at[upd_slot].add(upd_val, mode="promise_in_bounds")
 
-    c = jnp.zeros((n_slots + 1,), jnp.int32)
-    # correctness vs plain
+    # correctness vs plain (on fresh accumulators; f donates its input).
+    # Compare ON DEVICE — fetching two 268 MB vectors over the tunnel d2h
+    # would take tens of minutes.
     plain = jnp.zeros((n_slots + 1,), jnp.int32).at[slots].add(
         jnp.ones_like(slots, dtype=jnp.int32), mode="promise_in_bounds")
-    got = f(c, slots)
-    ok = bool(np.array_equal(np.asarray(jax.device_get(got[:n_slots])),
-                             np.asarray(jax.device_get(plain[:n_slots]))))
-    dt = _timeit(f, c, slots)
+    got = f(jnp.zeros((n_slots + 1,), jnp.int32), slots)
+    ok = bool(jax.device_get(
+        jnp.array_equal(got[:n_slots], plain[:n_slots])))
+    del got, plain
+    c = jnp.zeros((n_slots + 1,), jnp.int32)
+    dt = _timeit_carry(f, c, slots)
     return w / dt / 1e6, ok
 
 
@@ -200,6 +237,13 @@ def bench_sort_only(slots):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-gather", action="store_true",
+                    help="rerun only the scatter section, merging into "
+                         "an existing PROBE_STUDY3.json")
+    args = ap.parse_args()
     dev = jax.devices()[0]
     log(f"device: {dev}")
     rng = np.random.default_rng(0)
@@ -215,6 +259,14 @@ def main():
         rng.integers(0, n_buckets, size=W, dtype=np.int32))
     res = {"device": str(dev), "n_keys": N_KEYS, "windows": W,
            "table_MB": round(n_buckets * BUCKET * 4 / 1e6)}
+    if args.skip_gather and os.path.exists(OUT):
+        with open(OUT) as fh:
+            res.update(json.load(fh))
+
+    if args.skip_gather:
+        log("skipping gather section (merging prior results)")
+        del table
+        return scatter_section(res, rng, n_slots)
 
     log("XLA gather baseline (256B production rows)")
     res["xla_gather_Mrows_s_256B"] = round(bench_xla_gather(table, idx), 1)
@@ -243,6 +295,11 @@ def main():
                 "error": str(e)[:300]}
             log(f"  dma tile={tile} nbuf={nbuf} FAILED: {e}")
 
+    del table, table_wide, idx, idx_wide
+    scatter_section(res, rng, n_slots)
+
+
+def scatter_section(res, rng, n_slots):
     log("plain scatter baseline")
     slots_uniform = jnp.asarray(
         rng.integers(0, n_slots, size=W, dtype=np.int32))
@@ -252,6 +309,7 @@ def main():
 
     res["sort_Melem_s"] = round(bench_sort_only(slots_uniform), 1)
     log(f"  sort: {res['sort_Melem_s']} M elem/s")
+    del slots_uniform
 
     res["compressed_scatter_Mwin_s"] = {}
     for mult in (8, 64):

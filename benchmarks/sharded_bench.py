@@ -7,6 +7,8 @@ per-chip efficiency a pod run keeps (ICI collectives excepted) —
 VERDICT round-1 item 3's acceptance metric.
 
 Usage:  python benchmarks/sharded_bench.py [--reads 300000]
+                 [--genome-len 1000000]
+(--genome-len 14300000 gives the 28.6M-key E. coli BASELINE scale.)
 Writes benchmarks/SHARDED_r0N.json by hand after a run; prints JSON.
 """
 
@@ -21,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GENOME_LEN = 1_000_000
+GENOME_LEN = 1_000_000      # overridden by --genome-len
 READ_LEN = 150
 K = 31
 BATCH = 65536
@@ -78,9 +80,12 @@ def drive(pipe, fq):
 
 
 def main():
+    global GENOME_LEN
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=300_000)
+    ap.add_argument("--genome-len", type=int, default=GENOME_LEN)
     args = ap.parse_args()
+    GENOME_LEN = args.genome_len
     import jax
 
     from strainscan_tpu.index.hashtable import KmerTable
@@ -116,6 +121,7 @@ def main():
 
     exact = bool(np.array_equal(single_counts, sharded_counts))
     print(json.dumps({
+        "n_keys": int(db.size),
         "single_rps": round(single_rps, 1),
         "sharded_1dev_rps": round(sharded_rps, 1),
         "ratio": round(sharded_rps / single_rps, 3),

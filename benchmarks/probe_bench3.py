@@ -200,20 +200,23 @@ def bench_compressed_scatter(n_slots, slots, compact_div):
     @functools.partial(jax.jit, donate_argnames=("c",))
     def f(c, s):
         s = jnp.sort(s)
-        pos = jnp.arange(w, dtype=jnp.int32)
-        is_end = jnp.concatenate(
-            [s[:-1] != s[1:], jnp.ones((1,), bool)])
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), s[1:] != s[:-1]])
-        run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, pos, 0))
-        length = pos - run_start + 1
-        # compact the <= m run ends (data-dependent count -> fixed size m)
-        (end_idx,) = jnp.nonzero(is_end, size=m, fill_value=0)
-        n_runs = jnp.count_nonzero(is_end)
-        valid = jnp.arange(m) < n_runs
-        upd_slot = jnp.where(valid, s[end_idx], n_slots)
-        upd_val = jnp.where(valid, length[end_idx], 0)
+        # run lengths = diffs of consecutive run-start positions — no
+        # scan needed (an 8.4M associative_scan took >10 min of remote
+        # compile).  fill_value=w makes both the last run's length and
+        # every padding entry's length come out right.
+        (start_idx,) = jnp.nonzero(is_start, size=m, fill_value=w)
+        nxt = jnp.concatenate(
+            [start_idx[1:], jnp.full((1,), w, jnp.int32)])
+        length = (nxt - start_idx).astype(jnp.int32)
+        valid = start_idx < w
+        upd_slot = jnp.where(
+            valid,
+            s.at[jnp.minimum(start_idx, w - 1)].get(
+                mode="promise_in_bounds"),
+            n_slots)
+        upd_val = jnp.where(valid, length, 0)
         return c.at[upd_slot].add(upd_val, mode="promise_in_bounds")
 
     # correctness vs plain (on fresh accumulators; f donates its input).

@@ -13,9 +13,17 @@ scatter/gather units; the round-3 study (benchmarks/PROBE_STUDY*.json)
 showed the gather's cost is per ROW, almost independent of row WIDTH, so
 the production FpTable uses 256 B rows (bucket=64) — see
 index/hashtable.py — and the remaining wall is the flat ~94 M upd/s
-scatter.  A Pallas reimplementation of the gather/scatter cannot beat
-those units (per-lane random VMEM access is not a TensorCore primitive).
-Stage 1 is where a hand-fused kernel helps: one VMEM
+scatter.  Round 4 measured the two remaining alternatives
+(benchmarks/PROBE_STUDY3.json): (a) a double-buffered
+``pltpu.make_async_copy`` row-gather pipeline tops out at 40.7 M rows/s
+vs XLA's 87.6 M at the same 512 B-row geometry — per-row DMA issue from
+the scalar core is the cap, and Mosaic cannot even slice the production
+256 B row (128-lane minimum); (b) multiplicity-compressed scatter
+(sort + run-length compact + smaller scatter) — see the study for the
+crossover, which sits far above the ~1.1-1.3 per-batch slot
+multiplicity of real identify streams.  Both XLA units stand as the
+measured bound for this workload.  Stage 1 is where a hand-fused kernel
+helps: one VMEM
 pass produces every window's (bucket, fingerprint) pair straight from the
 2-bit read codes, instead of materializing hi/lo k-mer halves through HBM.
 

@@ -19,10 +19,12 @@ scatter.  Round 4 measured the two remaining alternatives
 vs XLA's 87.6 M at the same 512 B-row geometry — per-row DMA issue from
 the scalar core is the cap, and Mosaic cannot even slice the production
 256 B row (128-lane minimum); (b) multiplicity-compressed scatter
-(sort + run-length compact + smaller scatter) — see the study for the
-crossover, which sits far above the ~1.1-1.3 per-batch slot
-multiplicity of real identify streams.  Both XLA units stand as the
-measured bound for this workload.  Stage 1 is where a hand-fused kernel
+(sort + run-length compact + smaller scatter) LOSES to the plain
+scatter even at synthetic slot multiplicity 64 (81.6 vs 93.4 M win/s;
+46.6 vs 92.8 at mult 8) — the sort is cheap (~383 M elem/s) but the
+run-compaction (``jnp.nonzero``) costs more than the updates it saves,
+and real identify batches sit at multiplicity ~1.1-1.3 anyway.  Both
+XLA units stand as the measured bound for this workload.  Stage 1 is where a hand-fused kernel
 helps: one VMEM
 pass produces every window's (bucket, fingerprint) pair straight from the
 2-bit read codes, instead of materializing hi/lo k-mer halves through HBM.

@@ -20,6 +20,9 @@ from strainscan_tpu.ops.count import CountPipeline
 
 PathLike = Union[str, Sequence[str]]
 
+# one-entry cache of the last ShardedCountPipeline (see count_sample)
+_SHARDED_CACHE: dict = {}
+
 
 def count_sample(
     table: KmerTable,
@@ -45,7 +48,19 @@ def count_sample(
             and keys.size >= cfg.shard_min_kmers):
         from strainscan_tpu.parallel.sharded import ShardedCountPipeline
 
-        pipe = ShardedCountPipeline(keys, k=table.k, canonical=canonical)
+        # one-entry pipeline cache keyed by the keys buffer: repeat
+        # samples against the cached TreeDB reuse the sharded fp build
+        # and the device-resident table + slot_of_id (114 MB h2d each at
+        # E. coli scale) instead of re-deriving per sample
+        ck = (keys.ctypes.data, keys.size, table.k, canonical)
+        pipe = _SHARDED_CACHE.get(ck)
+        if pipe is None:
+            pipe = ShardedCountPipeline(keys, k=table.k,
+                                        canonical=canonical)
+            _SHARDED_CACHE.clear()
+            _SHARDED_CACHE[ck] = pipe
+        else:
+            pipe.reset()
     else:
         pipe = CountPipeline(table, canonical=canonical)
     # Multi-host (jax.distributed up): each host streams every Nth read

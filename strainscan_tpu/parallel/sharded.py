@@ -231,6 +231,7 @@ class ShardedCountPipeline:
         self._total = None
         self._fns = {}
         self._fin = None
+        self._soi_dev = None
         self._shape = None
 
     def _fn(self, shape, form="codes"):
@@ -431,9 +432,13 @@ class ShardedCountPipeline:
             return out
         from strainscan_tpu.ops.count import fetch_counts
 
-        soi_dev = jax.device_put(
-            self.st.soi, NamedSharding(self.mesh, P("index", None)))
-        per_id = self._finish_fn()(self._total, soi_dev)
+        # slot_of_id uploads ONCE per pipeline: it is 114 MB at E. coli
+        # scale and re-shipping it per finish cost 13.8 s of the 15.3 s
+        # sharded finish (measured round 4, tunnel h2d)
+        if self._soi_dev is None:
+            self._soi_dev = jax.device_put(
+                self.st.soi, NamedSharding(self.mesh, P("index", None)))
+        per_id = self._finish_fn()(self._total, self._soi_dev)
         n_padded = per_id.shape[0] * per_id.shape[1]
         # gather the id-space counts onto one device first: the compact
         # fetch's jitted helpers run single-device programs (eager ops on

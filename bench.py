@@ -265,10 +265,15 @@ def _warm_d2h():
         t0 = _t.time()
         jax.device_get(jnp.ones((8,), jnp.int32))
         log(f"d2h channel warm took {_t.time() - t0:.0f}s")
-        buf = jnp.ones((2 << 20,), jnp.int32)  # 8 MB
-        jax.block_until_ready(buf)
+        # fetch FRESH device-computed buffers: a constant uploaded from
+        # host (jnp.ones) can be served from a client-side copy without
+        # touching the link (measured "39 GB/s")
+        base = jnp.arange(2 << 20, dtype=jnp.int32)  # 8 MB
+        jax.device_get(base[:1])
         rates = []
-        for _ in range(3):
+        for i in range(3):
+            buf = base * jnp.int32(i + 1)
+            jax.device_get(buf[:1])  # computed; now time the bulk fetch
             t0 = _t.time()
             jax.device_get(buf)
             rates.append(8.0 / (_t.time() - t0))

@@ -8,7 +8,7 @@ independently:
     python benchmarks/scale_parity.py ref     # reference CLI (jellyfish)
     python benchmarks/scale_parity.py diff    # field-diff + PARITY json
 
-`diff` writes PARITY_SCALE_r03.json at the repo root with per-sample
+`diff` writes PARITY_SCALE_r04.json (override: $PARITY_OUT) at the repo root with per-sample
 byte/field equality and the cold/warm timings.
 """
 
@@ -164,7 +164,8 @@ def run_diff():
     ok = all(v.get("byte_identical") or v.get("fields_ok")
              for v in res["samples"].values())
     res["parity"] = ok
-    out = os.path.join(REPO, "PARITY_SCALE_r03.json")
+    out = os.path.join(REPO, os.environ.get(
+        "PARITY_OUT", "PARITY_SCALE_r04.json"))
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))

@@ -95,24 +95,10 @@ def _add_subsample(sub):
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: repeat identify runs skip the
-    one-time jit compiles (tens of seconds per batch shape on remote-
-    compile TPU setups).  Opt out with STRAINSCAN_JAX_CACHE=0; point it
-    elsewhere with STRAINSCAN_JAX_CACHE=<dir>."""
-    loc = os.environ.get("STRAINSCAN_JAX_CACHE", "")
-    if loc == "0":
-        return
-    if not loc:
-        loc = os.path.join(os.path.expanduser("~"), ".cache",
-                           "strainscan_tpu", "jax")
-    try:
-        import jax
+    """See utils.compile_cache (shared with the library entry points)."""
+    from strainscan_tpu.utils.compile_cache import enable_compile_cache
 
-        os.makedirs(loc, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", loc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # cache is an optimization, never fatal
-        logging.debug("compilation cache unavailable: %s", e)
+    enable_compile_cache()
 
 
 def _pin_platform() -> None:

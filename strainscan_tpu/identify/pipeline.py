@@ -82,9 +82,11 @@ def run_identify(
     rgenome: str = "",
     use_native: bool = True,
 ) -> Optional[Dict[int, dict]]:
+    from strainscan_tpu.utils.compile_cache import enable_compile_cache
     from strainscan_tpu.utils.profiling import phase
 
-    os.makedirs(out_dir, exist_ok=True)
+    enable_compile_cache()  # library callers get the same persistent
+    os.makedirs(out_dir, exist_ok=True)  # jit cache as the CLI
     paths = [p for p in (fq, fq2) if p]
     with phase("identify/load_db"):
         db = load_tree_db(db_dir)

@@ -57,6 +57,16 @@ def variant_new(leaves):
     return dt, universe, ids
 
 
+def variant_kway(leaves):
+    """What build_cst actually runs (commit 0b135d9): native k-way heap
+    merge of the sorted per-leaf arrays, no concat scratch."""
+    t0 = time.time()
+    universe = pack.merge_unique_sorted_u64(leaves)
+    ids = [pack.lookup_sorted_u64(universe, lf) for lf in leaves]
+    dt = time.time() - t0
+    return dt, universe, ids
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leaves", type=int, default=1650)
@@ -84,7 +94,7 @@ def main():
     log(f"{len(leaves)} leaves, {total/1e6:.0f}M total entries")
 
     res = {"leaves": len(leaves), "total_entries": total,
-           "old_s": [], "new_s": []}
+           "old_s": [], "new_s": [], "kway_s": []}
     oracle = None
     for rep in range(args.reps):
         dt_o, uni_o, ids_o = variant_old(leaves)
@@ -93,18 +103,26 @@ def main():
         dt_n, uni_n, ids_n = variant_new(leaves)
         res["new_s"].append(round(dt_n, 1))
         log(f"rep {rep} new(sort_unique+gallop):     {dt_n:.1f}s")
+        dt_k, uni_k, ids_k = variant_kway(leaves)
+        res["kway_s"].append(round(dt_k, 1))
+        log(f"rep {rep} kway(heap merge+gallop):     {dt_k:.1f}s")
         if oracle is None:
             assert np.array_equal(uni_o, uni_n), "universe mismatch"
-            for a, b in zip(ids_o, ids_n):
+            assert np.array_equal(uni_o, uni_k), "kway universe mismatch"
+            for a, b, c in zip(ids_o, ids_n, ids_k):
                 assert np.array_equal(a, b), "ids mismatch"
+                assert np.array_equal(a, c), "kway ids mismatch"
             oracle = True
             res["bit_exact"] = True
             res["universe_size"] = int(uni_o.size)
-        del uni_o, ids_o, uni_n, ids_n
+        del uni_o, ids_o, uni_n, ids_n, uni_k, ids_k
     res["old_median_s"] = float(np.median(res["old_s"]))
     res["new_median_s"] = float(np.median(res["new_s"]))
+    res["kway_median_s"] = float(np.median(res["kway_s"]))
     res["speedup_new_over_old"] = round(
         res["old_median_s"] / res["new_median_s"], 2)
+    res["speedup_kway_over_new"] = round(
+        res["new_median_s"] / res["kway_median_s"], 2)
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)
     log(f"wrote {OUT}")

@@ -179,9 +179,11 @@ def import_reference_db(ref_dir: str, out_dir: str, k: int = 31) -> None:
     table = KmerTable.build(all_kmers, k=k,
                             values=np.arange(all_kmers.size, dtype=np.int32))
     table.save(os.path.join(tdir, "table.npz"))
-    from strainscan_tpu.index.hashtable import FpTable
+    from strainscan_tpu.index.hashtable import FpTable, keys_checksum
 
-    FpTable.from_kmer_table(table).save(os.path.join(tdir, "fptable.npz"))
+    FpTable.from_kmer_table(table).save(
+        os.path.join(tdir, "fptable.npz"),
+        content_csum=keys_checksum(all_kmers))
     np.savez_compressed(
         os.path.join(tdir, "overlap.npz"),
         leaf=np.array(ov_leaf, dtype=np.int32),

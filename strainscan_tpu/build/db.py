@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Dict, List, Optional
 
@@ -98,10 +99,14 @@ def save_tree_stage(out_dir: str, cst: CST) -> None:
     table.save(os.path.join(tdir, "table.npz"))
     # fingerprint-table sidecar: pay the seed search ONCE at build so
     # cold identify loads read it instead of re-deriving (~10 s at
-    # E. coli scale); loaders fall back to deriving when absent
-    from strainscan_tpu.index.hashtable import FpTable
+    # E. coli scale); loaders fall back to deriving when absent.  The
+    # shared content checksum lets the loader reject a sidecar that does
+    # not belong to this table.
+    from strainscan_tpu.index.hashtable import FpTable, keys_checksum
 
-    FpTable.from_kmer_table(table).save(os.path.join(tdir, "fptable.npz"))
+    FpTable.from_kmer_table(table).save(
+        os.path.join(tdir, "fptable.npz"),
+        content_csum=keys_checksum(cst.all_kmers))
     # overlap info (leaf, node, ragged positions)
     ol, on, oo, op = [], [], [0], []
     for leaf in sorted(cst.overlap_info):
@@ -264,17 +269,36 @@ def _load_tree_db_uncached(db_dir: str) -> TreeDB:
     mem = os.path.exists(os.path.join(db_dir, "Memory_DB"))
     # With the fp sidecar present the exact table loads LAZILY — the
     # fp-mode hot path needs only its geometry, so the 572 MB (E. coli
-    # scale) slot-array read is skipped entirely on the cold path.
+    # scale) slot-array read is skipped entirely on the cold path.  A
+    # corrupt, truncated, or foreign sidecar (content checksum mismatch)
+    # falls back to the pre-round-4 eager-load + derive path.
     fp_path = os.path.join(tdir, "fptable.npz")
-    has_sidecar = os.path.exists(fp_path)  # absent in pre-round-4 DBs
-    table = KmerTable.load(os.path.join(tdir, "table.npz"),
-                           lazy=has_sidecar)
-    if has_sidecar:
+    table_path = os.path.join(tdir, "table.npz")
+    table = None
+    if os.path.exists(fp_path):          # absent in pre-round-4 DBs
         from strainscan_tpu.index.hashtable import FpTable
 
-        fpt = FpTable.load(fp_path)
-        if fpt.n_keys == table.n_keys and fpt.k == table.k:
-            object.__setattr__(table, "_fp_cache", fpt)
+        try:
+            fpt = FpTable.load(fp_path)
+        except Exception as e:
+            logging.getLogger("strainscan_tpu.db").warning(
+                "ignoring unreadable fp sidecar %s: %s", fp_path, e)
+            fpt = None
+        if fpt is not None:
+            table = KmerTable.load(table_path, lazy=True)
+            tcsum = getattr(table, "_csum", None)
+            fcsum = getattr(fpt, "_csum", None)
+            if (fpt.n_keys == table.n_keys and fpt.k == table.k
+                    and (tcsum is None or fcsum is None
+                         or tcsum == fcsum)):
+                object.__setattr__(table, "_fp_cache", fpt)
+            else:
+                logging.getLogger("strainscan_tpu.db").warning(
+                    "fp sidecar does not match table.npz "
+                    "(n_keys/k/checksum); deriving instead")
+                table = None
+    if table is None:
+        table = KmerTable.load(table_path)
     return TreeDB(
         tree=tree,
         gcf={int(n): s for n, s in struct["gcf"].items()},

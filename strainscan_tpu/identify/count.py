@@ -20,8 +20,12 @@ from strainscan_tpu.ops.count import CountPipeline
 
 PathLike = Union[str, Sequence[str]]
 
-# one-entry cache of the last ShardedCountPipeline (see count_sample)
-_SHARDED_CACHE: dict = {}
+# Tiny LRU of ShardedCountPipelines (see count_sample): 2 entries so the
+# big main-table pipeline survives the per-sample L2-union pipeline.
+# Entries hold the keys ARRAY (identity-checked and kept alive — a bare
+# data-pointer key could alias a recycled buffer).
+_SHARDED_CACHE: list = []
+_SHARDED_CACHE_MAX = 2
 
 
 def count_sample(
@@ -48,19 +52,26 @@ def count_sample(
             and keys.size >= cfg.shard_min_kmers):
         from strainscan_tpu.parallel.sharded import ShardedCountPipeline
 
-        # one-entry pipeline cache keyed by the keys buffer: repeat
-        # samples against the cached TreeDB reuse the sharded fp build
-        # and the device-resident table + slot_of_id (114 MB h2d each at
-        # E. coli scale) instead of re-deriving per sample
-        ck = (keys.ctypes.data, keys.size, table.k, canonical)
-        pipe = _SHARDED_CACHE.get(ck)
+        # pipeline cache: repeat samples against the cached TreeDB reuse
+        # the sharded fp build and the device-resident table +
+        # slot_of_id (114 MB h2d each at E. coli scale) instead of
+        # re-deriving per sample.  Hits require the SAME keys array
+        # object and the same batch geometry (the pipeline pins its
+        # first-seen batch shape, so a different max_read_len must get a
+        # fresh pipeline).
+        cfg_key = (table.k, canonical, cfg.max_read_len, cfg.read_batch)
+        pipe = None
+        for i, (ckeys, cmeta, cpipe) in enumerate(_SHARDED_CACHE):
+            if ckeys is keys and cmeta == cfg_key:
+                pipe = cpipe
+                _SHARDED_CACHE.insert(0, _SHARDED_CACHE.pop(i))
+                pipe.reset()
+                break
         if pipe is None:
             pipe = ShardedCountPipeline(keys, k=table.k,
                                         canonical=canonical)
-            _SHARDED_CACHE.clear()
-            _SHARDED_CACHE[ck] = pipe
-        else:
-            pipe.reset()
+            _SHARDED_CACHE.insert(0, (keys, cfg_key, pipe))
+            del _SHARDED_CACHE[_SHARDED_CACHE_MAX:]
     else:
         pipe = CountPipeline(table, canonical=canonical)
     # Multi-host (jax.distributed up): each host streams every Nth read

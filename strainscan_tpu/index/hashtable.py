@@ -35,6 +35,17 @@ BUCKET = 8
 _EMPTY32 = np.uint32(0xFFFFFFFF)
 
 
+def keys_checksum(keys_u64: np.ndarray) -> int:
+    """Order-independent content checksum of a key set (XOR fold + count).
+
+    Written into both the exact-table archive and the fp sidecar so a
+    loader can detect a sidecar that does not belong to its table (same
+    n_keys/k but different keys) without reading the big arrays."""
+    keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
+    x = int(np.bitwise_xor.reduce(keys_u64)) if keys_u64.size else 0
+    return (x ^ (keys_u64.size * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+
+
 def _fmix32_np(h):
     h = h ^ (h >> np.uint32(16))
     h = h * np.uint32(0x85EBCA6B)
@@ -247,6 +258,8 @@ class KmerTable:
         # 4B lo + 4B val), comparable to the compressed dense size with
         # no decompress.  load() reads v1 (dense) too.
         occ = np.nonzero(self.val >= 0)[0].astype(np.int64)
+        keys = (self.key_hi[occ].astype(np.uint64) << np.uint64(32)) | \
+            self.key_lo[occ].astype(np.uint64)
         np.savez(
             path,
             slot=occ,
@@ -255,6 +268,7 @@ class KmerTable:
             oval=self.val[occ],
             meta=np.array([self.n_buckets, self.max_probe, self.n_keys, self.k],
                           dtype=np.int64),
+            csum=np.array([keys_checksum(keys)], dtype=np.uint64),
         )
 
     @classmethod
@@ -267,10 +281,13 @@ class KmerTable:
         a zip, so reading just the 32-byte ``meta`` member is free."""
         z = np.load(path)
         n_buckets, max_probe, n_keys, k = (int(x) for x in z["meta"])
+        csum = int(z["csum"][0]) if "csum" in z.files else None
         if lazy:
             z.close()
-            return _LazyKmerTable(path, n_buckets=n_buckets,
-                                  max_probe=max_probe, n_keys=n_keys, k=k)
+            out = _LazyKmerTable(path, n_buckets=n_buckets,
+                                 max_probe=max_probe, n_keys=n_keys, k=k)
+            out._csum = csum
+            return out
         if "slot" in z.files:                      # v2: occupied slots only
             n_slots = n_buckets * BUCKET
             key_hi = np.full(n_slots, _EMPTY32, dtype=np.uint32)
@@ -312,6 +329,19 @@ class _LazyKmerTable(KmerTable):
     key_hi = property(lambda self: self._materialize()[0])
     key_lo = property(lambda self: self._materialize()[1])
     val = property(lambda self: self._materialize()[2])
+
+    # the dataclass-generated __repr__/__eq__ format/compare the slot
+    # arrays — on this subclass that would silently trigger the 572 MB
+    # read the laziness exists to skip (any log line or debugger render)
+    def __repr__(self):
+        state = "materialized" if self._arrays is not None else "lazy"
+        return (f"_LazyKmerTable({self._path!r}, n_keys={self.n_keys}, "
+                f"k={self.k}, {state})")
+
+    def __eq__(self, other):
+        return self is other
+
+    __hash__ = object.__hash__
 
 
 @dataclasses.dataclass
@@ -486,21 +516,28 @@ class FpTable:
         return np.where(found, b * self.bucket + lane, -1).astype(np.int32)
 
     # --------------------------------------------------------------- io
-    def save(self, path: str) -> None:
+    def save(self, path: str, content_csum: int | None = None) -> None:
         """Persist as a DB sidecar so cold identify loads skip the seed
         search + placement (~10 s at E. coli scale — round-3 VERDICT
         weak #6).  Stored uncompressed: the dense ``fp`` array (one
         contiguous read, no inflate, exactly what ships to the device)
         plus ``slot_of_id`` — ``val`` is their inverse (val[slot_of_id]
         = arange(n_keys), exact because ids are a permutation of
-        0..n_keys-1) and is rebuilt by one scatter at load."""
-        np.savez(
-            path,
+        0..n_keys-1) and is rebuilt by one scatter at load.
+
+        ``content_csum``: :func:`keys_checksum` of the key set this
+        table was built from; loaders compare it with the exact table's
+        stored checksum so a sidecar from a different same-sized build
+        cannot be silently attached."""
+        arrays = dict(
             fp=self.fp,
             slot_of_id=self.slot_of_id(),
             meta=np.array([self.n_buckets, self.bucket, self.seed,
                            self.n_keys, self.k], dtype=np.int64),
         )
+        if content_csum is not None:
+            arrays["csum"] = np.array([content_csum], dtype=np.uint64)
+        np.savez(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "FpTable":
@@ -513,6 +550,8 @@ class FpTable:
         out = cls(fp=fp, val=val, n_buckets=n_buckets, bucket=bucket,
                   seed=seed, n_keys=n_keys, k=k)
         object.__setattr__(out, "_slot_of_id", soi)
+        object.__setattr__(out, "_csum",
+                           int(z["csum"][0]) if "csum" in z.files else None)
         return out
 
 

@@ -208,3 +208,39 @@ def test_fp_sidecar_written_and_backcompat(db_and_strains):
         derived = pipe2.fpt
         assert np.array_equal(derived.fp, fpt.fp)
         assert np.array_equal(derived.val, fpt.val)
+
+
+def test_fp_sidecar_corrupt_and_foreign(db_and_strains):
+    """A truncated sidecar must not make the DB unloadable, and a
+    sidecar from a DIFFERENT build (same n_keys/k, different keys) must
+    be rejected via the content checksum — both fall back to deriving."""
+    import shutil
+    import tempfile
+
+    from strainscan_tpu.build.db import _load_tree_db_uncached
+    from strainscan_tpu.index.hashtable import FpTable, keys_checksum
+
+    _, db_dir, _ = db_and_strains
+    with tempfile.TemporaryDirectory() as tmp:
+        # corrupt/truncated sidecar
+        bad = os.path.join(tmp, "DBbad")
+        shutil.copytree(db_dir, bad)
+        with open(os.path.join(bad, "tree", "fptable.npz"), "wb") as f:
+            f.write(b"PK\x03\x04 truncated")
+        db = _load_tree_db_uncached(bad)
+        assert getattr(db.table, "_fp_cache", None) is None
+        assert db.table.n_keys > 0  # eager table fully loaded
+
+        # foreign sidecar: same n_keys/k but different key content
+        foreign = os.path.join(tmp, "DBforeign")
+        shutil.copytree(db_dir, foreign)
+        rng = np.random.default_rng(123)
+        other = np.unique(rng.integers(
+            0, 1 << 62, size=db.table.n_keys * 2, dtype=np.uint64)
+        )[: db.table.n_keys]
+        FpTable.build(other, k=db.table.k).save(
+            os.path.join(foreign, "tree", "fptable.npz"),
+            content_csum=keys_checksum(other))
+        db2 = _load_tree_db_uncached(foreign)
+        assert getattr(db2.table, "_fp_cache", None) is None, \
+            "checksum mismatch must reject the foreign sidecar"

@@ -449,8 +449,21 @@ class ShardedCountPipeline:
             jax.device_put(per_id.reshape(-1), dev0), n_padded
         ).astype(np.int64)
         vm = self.st.value_map
-        valid = vm >= 0
-        out[vm[valid]] = flat[valid]
+        ident = getattr(self, "_vm_ident", None)
+        if ident is None:
+            # default arange values + evenly-divided shards make the map
+            # the identity; a straight copy beats the 28.6M-element fancy
+            # scatter (~1.1 s at E. coli scale) every finish
+            ident = bool(vm.size == self.st.n_keys
+                         and vm[0] == 0 and vm[-1] == vm.size - 1
+                         and np.array_equal(
+                             vm, np.arange(vm.size, dtype=vm.dtype)))
+            self._vm_ident = ident
+        if ident:
+            out[:] = flat[:self.st.n_keys]
+        else:
+            valid = vm >= 0
+            out[vm[valid]] = flat[valid]
         return out
 
 

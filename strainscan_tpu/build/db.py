@@ -95,6 +95,12 @@ def save_tree_stage(out_dir: str, cst: CST) -> None:
         offsets=offsets,
         indices=indices,
     )
+    # all_kmers must be duplicate-free: KmerTable.build double-inserts
+    # duplicates and the fp sidecar's single-probe invariant can never
+    # hold for them (same bucket, same fingerprint at every seed)
+    if np.unique(cst.all_kmers).size != cst.all_kmers.size:
+        raise ValueError("tree stage produced duplicate k-mers in "
+                         "all_kmers; refusing to build the hash table")
     table = KmerTable.build(cst.all_kmers, k=cst.k)
     table.save(os.path.join(tdir, "table.npz"))
     # fingerprint-table sidecar: pay the seed search ONCE at build so
@@ -288,6 +294,14 @@ def _load_tree_db_uncached(db_dir: str) -> TreeDB:
             table = KmerTable.load(table_path, lazy=True)
             tcsum = getattr(table, "_csum", None)
             fcsum = getattr(fpt, "_csum", None)
+            if tcsum is None and fcsum is not None:
+                # table.npz predates stored checksums but the sidecar
+                # carries one: derive the table's content checksum from
+                # the tree stage's key array (already loaded above) so a
+                # foreign same-geometry sidecar cannot attach silently
+                from strainscan_tpu.index.hashtable import keys_checksum
+
+                tcsum = keys_checksum(z["all_kmers"])
             if (fpt.n_keys == table.n_keys and fpt.k == table.k
                     and (tcsum is None or fcsum is None
                          or tcsum == fcsum)):

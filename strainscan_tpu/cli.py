@@ -177,7 +177,7 @@ def main(argv=None) -> int:
         from strainscan_tpu.config import IdentifyConfig
         from strainscan_tpu.identify.pipeline import run_identify
 
-        if args.pmode == 1 and not args.rgenome:
+        if args.pmode in (1, 2) and not args.rgenome:
             print("Warning: You have to provide the dir of reference genome "
                   "sequences if you want to use plasmid mode!")
             return 1

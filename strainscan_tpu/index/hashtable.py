@@ -529,6 +529,13 @@ class FpTable:
         table was built from; loaders compare it with the exact table's
         stored checksum so a sidecar from a different same-sized build
         cannot be silently attached."""
+        occ_vals = self.val[self.val >= 0]
+        if occ_vals.size != self.n_keys or not np.array_equal(
+                np.sort(occ_vals), np.arange(self.n_keys, dtype=np.int32)):
+            raise ValueError(
+                "FpTable.save requires ids to be a permutation of "
+                "0..n_keys-1: load() reconstructs val as the inverse of "
+                "slot_of_id, which is only well-defined for permutations")
         arrays = dict(
             fp=self.fp,
             slot_of_id=self.slot_of_id(),

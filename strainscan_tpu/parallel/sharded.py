@@ -401,6 +401,20 @@ class ShardedCountPipeline:
 
     def reset(self) -> None:
         self._total = None
+        # re-pin the batch geometry: the jitted fns are keyed by shape,
+        # so a cached pipeline first exercised on a tiny sample must not
+        # keep splitting later full-size batches into tiny sub-dispatches
+        self._shape = None
+
+    def close(self) -> None:
+        """Drop device buffers (fp table, totals, slot_of_id) and the
+        compiled fns — called when a pipeline cache evicts this entry so
+        hundreds of MB of HBM don't linger until GC."""
+        self._table_dev = None
+        self._total = None
+        self._soi_dev = None
+        self._fns = {}
+        self._fin = None
 
     def _finish_fn(self):
         if self._fin is None:

@@ -200,3 +200,61 @@ def test_sharded_pipeline_large_uneven_table():
     pipe.add_batch(codes)
     got = pipe.finish()
     assert np.array_equal(got, want)
+
+
+def test_sharded_cache_content_keyed(problem):
+    """A rebuilt-but-equal key array must HIT the pipeline cache (round-4
+    VERDICT weak #5: vote rebuilds the L2 union per sample, and an
+    identity-keyed cache re-ran the joint-seed ShardedFpTable.build every
+    time)."""
+    from strainscan_tpu.config import IdentifyConfig
+    from strainscan_tpu.identify import count as icount
+
+    db, _ = problem
+    keys1 = np.sort(np.fromiter(db, dtype=np.uint64))
+    keys2 = keys1.copy()          # equal content, distinct array object
+    assert keys1 is not keys2
+    table = KmerTable.build(keys1, k=31)
+    cfg = IdentifyConfig()
+    icount._SHARDED_CACHE.clear()
+    p1 = icount._sharded_pipeline(keys1, table, False, cfg)
+    p2 = icount._sharded_pipeline(keys2, table, False, cfg)
+    assert p2 is p1
+    # identity fast path still works and refreshes the LRU entry
+    p3 = icount._sharded_pipeline(keys2, table, False, cfg)
+    assert p3 is p1
+    # different content -> different pipeline
+    keys3 = keys1[:-1].copy()
+    table3 = KmerTable.build(keys3, k=31)
+    p4 = icount._sharded_pipeline(keys3, table3, False, cfg)
+    assert p4 is not p1
+    icount._SHARDED_CACHE.clear()
+
+
+def test_sharded_cache_eviction_closes(problem):
+    """Evicted pipelines must release their device buffers eagerly."""
+    from strainscan_tpu.config import IdentifyConfig
+    from strainscan_tpu.identify import count as icount
+
+    db, codes = problem
+    keys = np.sort(np.fromiter(db, dtype=np.uint64))
+    table = KmerTable.build(keys, k=31)
+    cfg = IdentifyConfig()
+    icount._SHARDED_CACHE.clear()
+    pipes = []
+    for i in range(icount._SHARDED_CACHE_MAX + 1):
+        kv = keys[: keys.size - i].copy()
+        tv = KmerTable.build(kv, k=31)
+        p = icount._sharded_pipeline(kv, tv, False, cfg)
+        p.add_batch(codes)        # materialize device buffers
+        pipes.append(p)
+    assert len(icount._SHARDED_CACHE) == icount._SHARDED_CACHE_MAX
+    evicted = pipes[0]
+    assert evicted._table_dev is None and evicted._total is None
+    assert evicted._fns == {} and evicted._fin is None
+    # a pipeline re-pins its batch shape after reset (ADVICE count.py:64)
+    kept = pipes[-1]
+    assert kept._shape is not None
+    kept.reset()
+    assert kept._shape is None and kept._total is None
+    icount._SHARDED_CACHE.clear()

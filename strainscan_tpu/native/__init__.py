@@ -107,5 +107,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             fn.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                            ctypes.c_void_p, ctypes.c_longlong,
                            ctypes.c_void_p]
+        lib.enet_cd_path.restype = ctypes.c_int
+        lib.enet_cd_path.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_double, ctypes.c_longlong,
+            ctypes.c_double, ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
         return _LIB

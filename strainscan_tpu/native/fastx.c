@@ -18,6 +18,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <math.h>
 #include <zlib.h>
 
 #define LINEBUF (1 << 20)
@@ -581,4 +582,80 @@ long long u64_kway_merge_unique(const uint64_t **arrs, const long long *lens,
     }
     free(heap); free(pos);
     return m;
+}
+
+/* ------------------------------------------------------------------ *
+ * Positive Elastic-Net cyclic coordinate descent over the Gram
+ * formulation, warm-started along a shared alpha path, independently
+ * per CV fold.  Scalar float64 semantics mirror ops/enet.py::_cd_gram
+ * (itself matched to sklearn's enet_coordinate_descent as used by the
+ * reference at identify_strains_L2_Enet_Pscan_new_sp.py:433-456):
+ * minimizes 0.5 w^T G w - b^T w + n*alpha*l1r*||w||_1
+ *           + (n*alpha*(1-l1r)/2)*||w||^2.
+ *
+ * grams   [F, s, s] row-major; moments [F, s]; n_train [F]
+ * alphas  [A] in path order (descending); out_w [A, F, s]
+ * Returns 0 on success.
+ * ------------------------------------------------------------------ */
+int enet_cd_path(const double *grams, const double *moments,
+                 const double *n_train, long long F, long long s,
+                 const double *alphas, long long A, double l1_ratio,
+                 long long max_iter, double tol, int positive,
+                 double *out_w) {
+    double *w = (double *)malloc((size_t)s * sizeof(double));
+    double *q = (double *)malloc((size_t)s * sizeof(double));
+    if (!w || !q) { free(w); free(q); return -1; }
+    for (long long f = 0; f < F; f++) {
+        const double *G = grams + f * s * s;
+        const double *b = moments + f * s;
+        double n = n_train[f];
+        for (long long j = 0; j < s; j++) w[j] = 0.0;
+        for (long long ai = 0; ai < A; ai++) {
+            double alpha = alphas[ai];
+            double l1 = n * alpha * l1_ratio;
+            double l2 = n * alpha * (1.0 - l1_ratio);
+            /* q = G @ w recomputed at every alpha entry (matches the
+             * host path, which calls _cd_gram afresh per alpha) */
+            for (long long i = 0; i < s; i++) {
+                double acc = 0.0;
+                const double *Gi = G + i * s;
+                for (long long j = 0; j < s; j++) acc += Gi[j] * w[j];
+                q[i] = acc;
+            }
+            for (long long it = 0; it < max_iter; it++) {
+                double w_max = 0.0, d_w_max = 0.0;
+                for (long long j = 0; j < s; j++) {
+                    double dj = G[j * s + j];
+                    double denom = dj + l2;
+                    if (denom == 0.0) continue;
+                    double rho = b[j] - q[j] + dj * w[j];
+                    double neww;
+                    if (positive) {
+                        neww = rho - l1;
+                        if (neww < 0.0) neww = 0.0;
+                        neww /= denom;
+                    } else {
+                        double a = fabs(rho) - l1;
+                        if (a < 0.0) a = 0.0;
+                        neww = (rho > 0.0 ? a : (rho < 0.0 ? -a : 0.0))
+                               / denom;
+                    }
+                    double delta = neww - w[j];
+                    if (delta != 0.0) {
+                        for (long long i = 0; i < s; i++)
+                            q[i] += G[i * s + j] * delta;
+                        w[j] = neww;
+                    }
+                    if (fabs(delta) > d_w_max) d_w_max = fabs(delta);
+                    if (fabs(neww) > w_max) w_max = fabs(neww);
+                }
+                double wm = w_max > 1e-300 ? w_max : 1e-300;
+                if (w_max == 0.0 || d_w_max / wm < tol) break;
+            }
+            double *out = out_w + (ai * F + f) * s;
+            for (long long j = 0; j < s; j++) out[j] = w[j];
+        }
+    }
+    free(w); free(q);
+    return 0;
 }

@@ -73,3 +73,24 @@ def test_cv_fit_close_to_sklearn():
                           random_state=0, selection="cyclic")
     sk_final.fit(X, y)
     assert np.allclose(res.coef, sk_final.coef_, atol=1e-3)
+
+
+def test_cd_path_native_matches_python(monkeypatch):
+    """The C alpha-path kernel must agree with the per-fold Python CD it
+    replaces (same warm starts, same convergence rule)."""
+    from strainscan_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    X, y = _problem(n=2000, s=7)
+    alphas = enet.alpha_grid(X, y, 0.5, 1e-3, 50)
+    tm = enet.shuffle_split_masks(len(y), 8, 0.5, 0)
+    train = ~tm
+    grams, moments = enet._fold_grams(X, y, train)
+    nt = train.sum(axis=1)
+    W_c = enet._cd_path_all_folds(grams, moments, nt, alphas, 0.5,
+                                  5000, 1e-4)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    W_py = enet._cd_path_all_folds(grams, moments, nt, alphas, 0.5,
+                                   5000, 1e-4)
+    np.testing.assert_allclose(W_c, W_py, rtol=1e-9, atol=1e-12)

@@ -64,12 +64,14 @@ def drive(pipe, fq):
     from strainscan_tpu.utils.prefetch import prefetch_iter
 
     n_box = [0]
+    ship = getattr(pipe, "ship", None)
 
     def produce():
         for batch in fastx.read_batches(fq, batch=BATCH,
                                         maxlen=READ_LEN + 6, k=K):
             n_box[0] += batch.shape[0]
-            yield pipe.prepare_batch(batch)
+            payloads = pipe.prepare_batch(batch)
+            yield ship(payloads) if ship is not None else payloads
 
     t0 = time.time()
     for payloads in prefetch_iter(produce()):
@@ -106,25 +108,39 @@ def main():
     log("single: warm-up pass")
     rps, _ = drive(single, fq)  # compile + table upload outside timing
     single.reset()
-    log(f"single warm pass {rps:.0f} r/s; timed pass")
-    single_rps, single_counts = drive(single, fq)
-    log(f"single: {single_rps:.0f} reads/s")
+    log(f"single warm pass {rps:.0f} r/s")
 
     mesh = make_mesh(1, index_shards=1)
     sharded = ShardedCountPipeline(db, k=K, mesh=mesh)
     log("sharded: warm-up pass")
     drive(sharded, fq)
     sharded.reset()
-    log("sharded: timed pass")
-    sharded_rps, sharded_counts = drive(sharded, fq)
-    log(f"sharded(1dev): {sharded_rps:.0f} reads/s")
 
+    # INTERLEAVED median-of-3: the tunnel link rate swings 2-4x between
+    # passes, so back-to-back single-then-sharded blocks would measure
+    # the tunnel, not the pipelines
+    single_reps, sharded_reps = [], []
+    single_counts = sharded_counts = None
+    for rep in range(3):
+        r, single_counts = drive(single, fq)
+        single.reset()
+        single_reps.append(r)
+        log(f"rep {rep}: single {r:.0f} r/s")
+        r, sharded_counts = drive(sharded, fq)
+        sharded.reset()
+        sharded_reps.append(r)
+        log(f"rep {rep}: sharded {r:.0f} r/s")
+
+    single_rps = float(np.median(single_reps))
+    sharded_rps = float(np.median(sharded_reps))
     exact = bool(np.array_equal(single_counts, sharded_counts))
     print(json.dumps({
         "n_keys": int(db.size),
         "single_rps": round(single_rps, 1),
         "sharded_1dev_rps": round(sharded_rps, 1),
         "ratio": round(sharded_rps / single_rps, 3),
+        "single_reps": [round(r, 1) for r in single_reps],
+        "sharded_reps": [round(r, 1) for r in sharded_reps],
         "bit_exact": exact,
         "reads": args.reads,
     }))

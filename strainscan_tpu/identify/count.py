@@ -118,12 +118,17 @@ def count_sample(
         fq_paths, batch=cfg.read_batch, maxlen=cfg.max_read_len,
         k=table.k, use_native=use_native)
     if hasattr(pipe, "prepare_batch"):
-        # parse + pack in the producer thread, dispatch on the main thread
+        # parse + pack (and, on the sharded pipeline, the h2d ship) in
+        # the producer thread; the main thread only dispatches — so the
+        # host->device transfer overlaps device compute
+        ship = getattr(pipe, "ship", None)
+
         def produce():
             for bi, batch in enumerate(batches):
                 if bi % pcount != pidx:
                     continue
-                yield pipe.prepare_batch(batch)
+                payloads = pipe.prepare_batch(batch)
+                yield ship(payloads) if ship is not None else payloads
 
         for payloads in prefetch_iter(produce()):
             pipe.add_prepared(payloads)

@@ -233,6 +233,7 @@ class ShardedCountPipeline:
         self._fin = None
         self._soi_dev = None
         self._shape = None
+        self._zeros_fn = None
 
     def _fn(self, shape, form="codes"):
         key = (shape, form)
@@ -262,50 +263,53 @@ class ShardedCountPipeline:
                                          hi, lo)
                 return jnp.where(valid, slots, -1)
 
+            # read batches arrive split over BOTH mesh axes — every byte
+            # crosses the host link exactly once — and each index program
+            # reassembles its data-block with an all_gather over 'index'
+            # that rides ICI (the round-4 layout replicated the block
+            # over 'index' at h2d time, paying n_index x the host-link
+            # bytes AND the slow sharded-device_put path per batch)
+            def gather_idx(x):
+                return jax.lax.all_gather(x, "index", axis=0, tiled=True)
+
+            def accumulate(codes_blk, fp_blk, total_blk):
+                slots = probe(codes_blk, fp_blk[0]).reshape(-1)
+                safe = jnp.where(slots >= 0, slots, trash)
+                ones = jnp.ones_like(safe, dtype=total_blk.dtype)
+                # flatten: the 1-D scatter lowers to the same program
+                # as the single-chip path; at[0, 0, safe] does not
+                t = total_blk.reshape(-1).at[safe].add(
+                    ones, mode="promise_in_bounds")
+                return t.reshape(total_blk.shape)
+
             if form == "vlen":
                 def local(words, vlen, fp_blk, total_blk):
-                    codes_blk = kdev.unpack_codes_vlen(words, vlen, length)
-                    slots = probe(codes_blk, fp_blk[0]).reshape(-1)
-                    safe = jnp.where(slots >= 0, slots, trash)
-                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    # flatten: the 1-D scatter lowers to the same program
-                    # as the single-chip path; at[0, 0, safe] does not
-                    t = total_blk.reshape(-1).at[safe].add(
-                        ones, mode="promise_in_bounds")
-                    return t.reshape(total_blk.shape)
+                    codes_blk = kdev.unpack_codes_vlen(
+                        gather_idx(words), gather_idx(vlen), length)
+                    return accumulate(codes_blk, fp_blk, total_blk)
 
-                in_specs = (P("data", None), P("data"),
+                in_specs = (P(("data", "index"), None),
+                            P(("data", "index"),),
                             P("index", None, None),
                             P("data", "index", None))
                 donate = (3,)
             elif packed:
                 def local(words, vbytes, fp_blk, total_blk):
-                    codes_blk = kdev.unpack_codes(words, vbytes, length)
-                    slots = probe(codes_blk, fp_blk[0]).reshape(-1)
-                    safe = jnp.where(slots >= 0, slots, trash)
-                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    # flatten: the 1-D scatter lowers to the same program
-                    # as the single-chip path; at[0, 0, safe] does not
-                    t = total_blk.reshape(-1).at[safe].add(
-                        ones, mode="promise_in_bounds")
-                    return t.reshape(total_blk.shape)
+                    codes_blk = kdev.unpack_codes(
+                        gather_idx(words), gather_idx(vbytes), length)
+                    return accumulate(codes_blk, fp_blk, total_blk)
 
-                in_specs = (P("data", None), P("data", None),
+                in_specs = (P(("data", "index"), None),
+                            P(("data", "index"), None),
                             P("index", None, None),
                             P("data", "index", None))
                 donate = (3,)
             else:
                 def local(codes, fp_blk, total_blk):
-                    slots = probe(codes, fp_blk[0]).reshape(-1)
-                    safe = jnp.where(slots >= 0, slots, trash)
-                    ones = jnp.ones_like(safe, dtype=total_blk.dtype)
-                    # flatten: the 1-D scatter lowers to the same program
-                    # as the single-chip path; at[0, 0, safe] does not
-                    t = total_blk.reshape(-1).at[safe].add(
-                        ones, mode="promise_in_bounds")
-                    return t.reshape(total_blk.shape)
+                    return accumulate(gather_idx(codes), fp_blk, total_blk)
 
-                in_specs = (P("data", None), P("index", None, None),
+                in_specs = (P(("data", "index"), None),
+                            P("index", None, None),
                             P("data", "index", None))
                 donate = (2,)
 
@@ -325,9 +329,17 @@ class ShardedCountPipeline:
         if self._total is None:
             d = self.mesh.shape["data"]
             n_index = self.mesh.shape["index"]
-            self._total = jax.device_put(
-                np.zeros((d, n_index, self.st.n_slots + 1), np.int32),
-                NamedSharding(self.mesh, P("data", "index", None)))
+            # zeros are CREATED on device (compiled once): a device_put
+            # of host zeros is a full accumulator-sized h2d — 268 MB,
+            # ~10 s over the tunnel at E. coli scale — after every
+            # reset(), i.e. once per sample on the identify path
+            if self._zeros_fn is None:
+                shape = (d, n_index, self.st.n_slots + 1)
+                self._zeros_fn = jax.jit(
+                    lambda: jnp.zeros(shape, jnp.int32),
+                    out_shardings=NamedSharding(
+                        self.mesh, P("data", "index", None)))
+            self._total = self._zeros_fn()
 
     def prepare_batch(self, codes: np.ndarray):
         """Host-side half of add_batch: shape pinning, padding, packing.
@@ -337,11 +349,11 @@ class ShardedCountPipeline:
         same split that closed the round-1 single-chip gap).  Only the
         producer may call it — it owns the batch-shape state."""
         out = []
-        d = self.mesh.shape["data"]
+        d = self.mesh.shape["data"] * self.mesh.shape["index"]
         codes = np.asarray(codes)
         if self._shape is None:
             b = codes.shape[0]
-            b += (-b) % d
+            b += (-b) % d   # rows split over BOTH mesh axes at h2d time
             self._shape = (b, codes.shape[1])
             self._len = codes.shape[1]
         rows, cols = self._shape
@@ -372,29 +384,60 @@ class ShardedCountPipeline:
             out.append(("codes", codes.shape, codes, None))
         return out
 
-    def add_prepared(self, payloads) -> None:
-        """Dispatch payloads from :meth:`prepare_batch` (main thread)."""
-        self._ensure_device_state()
-        # h2d with the target sharding up front: a plain jnp.asarray lands
-        # replicated on device 0 and the jit inserts a reshard copy (and
-        # on a pod would bounce every byte through one chip).  Both
-        # arrays ship in ONE pytree device_put — on the tunneled backend
-        # every device_put call costs a round trip (~0.8 s/batch extra
-        # for a second call, measured round 4), 3.7x the batched form.
-        rows = NamedSharding(self.mesh, P("data", None))
-        flat = NamedSharding(self.mesh, P("data"))
+    def ship(self, payloads):
+        """h2d half of dispatch: device_put each payload's arrays into
+        the mesh layout (rows split over data x index — see :meth:`_fn`).
+
+        Safe to call from the producer thread, so the host->device
+        transfer overlaps the main thread's (cheap, async) dispatches —
+        the explicit per-batch device_put on the main thread was the
+        0.3-0.4 s/batch serial overhead of the round-4 sharded path.
+
+        Transfers go as plain per-device device_puts of contiguous row
+        chunks, assembled with make_array_from_single_device_arrays: the
+        NamedSharding device_put path measures ~2x slower per byte on
+        the tunneled backend.  All chunks of both arrays ship in ONE
+        pytree call (every call costs a round trip there)."""
+        devs = list(self.mesh.devices.flat)   # data-major = P axis order
+        n = len(devs)
+        out = []
         for form, shape, a, b in payloads:
+            arrs, tgts = [], []
+            for x in (a, b):
+                if x is None:
+                    continue
+                rows = x.shape[0] // n
+                for i, d in enumerate(devs):
+                    arrs.append(x[i * rows:(i + 1) * rows])
+                    tgts.append(d)
+            parts = jax.device_put(arrs, tgts)
+
+            def assemble(x, shards):
+                spec = P(("data", "index"), *([None] * (x.ndim - 1)))
+                return jax.make_array_from_single_device_arrays(
+                    x.shape, NamedSharding(self.mesh, spec), shards)
+
+            ad = assemble(a, parts[:n])
+            bd = assemble(b, parts[n:]) if b is not None else None
+            out.append((form, shape, ad, bd))
+        return out
+
+    def add_prepared(self, payloads) -> None:
+        """Dispatch payloads from :meth:`prepare_batch` or :meth:`ship`
+        (main thread)."""
+        self._ensure_device_state()
+        for form, shape, a, b in payloads:
+            if not isinstance(a, jax.Array):
+                (form, shape, a, b), = self.ship([(form, shape, a, b)])
             if form == "vlen":
-                ad, bd = jax.device_put((a, b), (rows, flat))
                 self._total = self._fn(shape, "vlen")(
-                    ad, bd, self._table_dev, self._total)
+                    a, b, self._table_dev, self._total)
             elif form == "vbytes":
-                ad, bd = jax.device_put((a, b), (rows, rows))
                 self._total = self._fn(shape, "vbytes")(
-                    ad, bd, self._table_dev, self._total)
+                    a, b, self._table_dev, self._total)
             else:
                 self._total = self._fn(shape)(
-                    jax.device_put(a, rows), self._table_dev, self._total)
+                    a, self._table_dev, self._total)
 
     def add_batch(self, codes: np.ndarray) -> None:
         self.add_prepared(self.prepare_batch(codes))
@@ -415,36 +458,43 @@ class ShardedCountPipeline:
         self._soi_dev = None
         self._fns = {}
         self._fin = None
+        self._zeros_fn = None
 
     def _finish_fn(self):
         if self._fin is None:
-            cap = self.st.shard_cap
-
             def fin(total_blk, soi_blk):
                 # [1, 1, S+1] per program -> psum over data -> id gather
+                # -> all_gather over index: the id-space result comes out
+                # REPLICATED, so the caller reads it off one device with
+                # zero cross-sharding copies (a device_put of the sharded
+                # result to one device bounced ~114 MB through the host
+                # on the tunneled backend — the round-4 finish gap)
                 t = jax.lax.psum(total_blk[0, 0], "data")
                 ids = t.at[soi_blk[0]].get(mode="promise_in_bounds")
-                return ids[None, :]
+                return jax.lax.all_gather(ids, "index", axis=0, tiled=True)
 
+            # check_vma off: the checker can't infer that a tiled
+            # all_gather over 'index' makes the output index-invariant
+            # (it is — every program computes the identical vector)
             self._fin = jax.jit(jax.shard_map(
                 fin, mesh=self.mesh,
                 in_specs=(P("data", "index", None), P("index", None)),
-                out_specs=P("index", None),
+                out_specs=P(None), check_vma=False,
             ))
         return self._fin
 
     def finish(self) -> np.ndarray:
-        """int64 [n_keys] counts in the caller's id space.  The data-axis
-        psum and the slot->id remap both run on device; the d2h fetch
-        shares ``ops.count.fetch_counts`` with the single-device pipeline
+        """int32 [n_keys] counts in the caller's id space (same dtype as
+        the single-device pipeline).  The data-axis psum and the slot->id
+        remap both run on device; the d2h fetch shares
+        ``ops.count.fetch_counts`` with the single-device pipeline
         (device-side stats pick sparse idx+vals / uint8 / uint16 / int32 —
         a typical identify sample touches ~5% of an E. coli-scale table,
         so the sparse form is ~20x fewer bytes over the slow tunnel d2h
         link; counts >= 2^16 automatically fall back to dense int32, so
         the encoding is bit-exact at any depth)."""
-        out = np.zeros(self.st.n_keys, dtype=np.int64)
         if self._total is None:
-            return out
+            return np.zeros(self.st.n_keys, dtype=np.int32)
         from strainscan_tpu.ops.count import fetch_counts
 
         # slot_of_id uploads ONCE per pipeline: it is 114 MB at E. coli
@@ -454,31 +504,30 @@ class ShardedCountPipeline:
             self._soi_dev = jax.device_put(
                 self.st.soi, NamedSharding(self.mesh, P("index", None)))
         per_id = self._finish_fn()(self._total, self._soi_dev)
-        n_padded = per_id.shape[0] * per_id.shape[1]
-        # gather the id-space counts onto one device first: the compact
-        # fetch's jitted helpers run single-device programs (eager ops on
-        # a submesh-sharded array abort), and an ICI gather of n_keys
-        # int32s is orders of magnitude cheaper than the d2h it optimizes
-        dev0 = self.mesh.devices.flat[0]
-        flat = fetch_counts(
-            jax.device_put(per_id.reshape(-1), dev0), n_padded
-        ).astype(np.int64)
+        n_padded = per_id.shape[0]
+        # the finish output is replicated, so shard 0's data IS the full
+        # id-space vector on one device (zero-copy view); the compact
+        # fetch's single-device jitted helpers run straight on it
+        flat = fetch_counts(per_id.addressable_shards[0].data, n_padded)
         vm = self.st.value_map
         ident = getattr(self, "_vm_ident", None)
         if ident is None:
             # default arange values + evenly-divided shards make the map
-            # the identity; a straight copy beats the 28.6M-element fancy
-            # scatter (~1.1 s at E. coli scale) every finish
+            # the identity; skipping the remap avoids a 28.6M-element
+            # fancy scatter (~1.1 s at E. coli scale) AND a fresh
+            # n_keys-sized zeros + copy (~0.4 s of host memory traffic)
+            # every finish
             ident = bool(vm.size == self.st.n_keys
                          and vm[0] == 0 and vm[-1] == vm.size - 1
                          and np.array_equal(
                              vm, np.arange(vm.size, dtype=vm.dtype)))
             self._vm_ident = ident
         if ident:
-            out[:] = flat[:self.st.n_keys]
-        else:
-            valid = vm >= 0
-            out[vm[valid]] = flat[valid]
+            return flat if flat.size == self.st.n_keys \
+                else flat[:self.st.n_keys]
+        out = np.zeros(self.st.n_keys, dtype=np.int32)
+        valid = vm >= 0
+        out[vm[valid]] = flat[valid]
         return out
 
 

@@ -102,6 +102,11 @@ class IdentifyConfig:
     # collectives; smaller tables (e.g. per-cluster L2 sets) run the fused
     # single-device pipeline even on a pod
     shard_min_kmers: int = 2_000_000
+    # minimum L2 matrix row count before the Pre-Scan column sums and
+    # Enet fold Grams shard their k-mer axis over the mesh (the O(s)
+    # outputs cross ICI via one psum; below this the dispatch+collective
+    # latency exceeds the matvec itself)
+    shard_min_l2_rows: int = 250_000
 
     def ladder(self) -> Tuple[Tuple[float, float, float], ...]:
         """Cutoff schedule for the chosen low-depth mode (StrainScan.py:192-217)."""

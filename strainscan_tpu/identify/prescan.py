@@ -26,7 +26,7 @@ DB time, densified for the mat-vec loop like the reference's ``X.A``):
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -116,20 +116,48 @@ class _L2Kernels:
     #5) stays on the host, fetching two scalars per round.
     """
 
-    def __init__(self, X: np.ndarray, use_device: bool = True):
+    def __init__(self, X: np.ndarray, use_device: bool = True,
+                 min_shard_rows: Optional[int] = None):
         self.n, self.s = X.shape
         if X.size and (X.min() < 0 or X.max() > 1
                        or not np.array_equal(X, np.rint(X))):
             raise ValueError("Pre-Scan kernels require a 0/1 strain matrix")
         X8 = X.astype(np.int8)
         self.jax = None
+        self.mesh = None
+        self._pad = 0
         if use_device:
             try:
                 import jax
                 import jax.numpy as jnp
 
                 self.jax = jax
-                self.Xd = jnp.asarray(X8)
+                if min_shard_rows is not None:
+                    from strainscan_tpu.parallel import sharded as psh
+
+                    self.mesh = psh.l2_mesh(self.n, min_shard_rows)
+                if self.mesh is not None:
+                    # k-mer axis sharded over the whole mesh: every
+                    # colsum below reduces with ONE psum over ICI and
+                    # returns the O(s) vector replicated (round-4
+                    # VERDICT item 2; ref workload anchor
+                    # identify_strains_L2_Enet_Pscan_new_sp.py:431-456)
+                    from strainscan_tpu.parallel import sharded as psh
+
+                    npad = psh.pad_rows(self.mesh, self.n)
+                    self._pad = npad - self.n
+                    if self._pad:
+                        X8p = np.zeros((npad, self.s), np.int8)
+                        X8p[: self.n] = X8
+                    else:
+                        X8p = X8
+                    self.Xd = psh.shard_rows(self.mesh, X8p)
+                    self._colsum_sh = psh.sharded_colsum_fn(self.mesh)
+                    self._colsum_unused_sh = \
+                        psh.sharded_colsum_unused_fn(self.mesh)
+                    self._or_col_sh = psh.sharded_or_col_fn(self.mesh)
+                else:
+                    self.Xd = jnp.asarray(X8)
 
                 @jax.jit
                 def colsum(Xd, m):
@@ -155,6 +183,15 @@ class _L2Kernels:
             self.X8 = X8
 
     def to_mask(self, m: np.ndarray):
+        if self.mesh is not None:
+            from strainscan_tpu.parallel import sharded as psh
+
+            m = np.asarray(m)
+            if self._pad:
+                mp = np.zeros(self.n + self._pad, dtype=m.dtype)
+                mp[: self.n] = m
+                m = mp
+            return psh.shard_rows(self.mesh, m)
         if self.jax is not None:
             import jax.numpy as jnp
 
@@ -163,12 +200,16 @@ class _L2Kernels:
 
     def colsum(self, mask) -> np.ndarray:
         """int32 [s]: per-strain count of set rows within X's support."""
+        if self.mesh is not None:
+            return np.asarray(self._colsum_sh(self.Xd, mask))
         if self.jax is not None:
             return np.asarray(self._colsum(self.Xd, mask))
         return self.X8.T.astype(np.int32) @ mask.astype(np.int32)
 
     def colsum_unused(self, used, big) -> np.ndarray:
         """int32 [s]: X^T (~used & big) — one fused matvec per round."""
+        if self.mesh is not None:
+            return np.asarray(self._colsum_unused_sh(self.Xd, used, big))
         if self.jax is not None:
             return np.asarray(self._colsum_unused(self.Xd, used, big))
         return self.X8.T.astype(np.int32) @ (
@@ -176,6 +217,8 @@ class _L2Kernels:
 
     def or_column(self, used, c: int):
         """used |= X[:, c] (kept device-resident across scan rounds)."""
+        if self.mesh is not None:
+            return self._or_col_sh(used, self.Xd, c)
         if self.jax is not None:
             return self._or_col(used, self.Xd, c)
         return used | (self.X8[:, c] > 0)
@@ -215,7 +258,7 @@ def detect_strains(
     # X is the 0/1 strain matrix (all_strains_re), so every Pre-Scan
     # statistic reduces to exact integer matvecs (see _L2Kernels); the
     # [s, n] npXt materialization per round is gone.
-    kern = _L2Kernels(X)
+    kern = _L2Kernels(X, min_shard_rows=cfg.shard_min_l2_rows)
     totals = kern.colsum(kern.to_mask(np.ones(X.shape[0], dtype=bool)))
     big_py = py > 1
     valid_all = kern.colsum(kern.to_mask(big_py))

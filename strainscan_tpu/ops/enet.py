@@ -94,7 +94,8 @@ def _cd_gram(gram: np.ndarray, moment: np.ndarray, n: int, alpha: float,
 
 
 def _fold_grams(X: np.ndarray, y: np.ndarray, train: np.ndarray,
-                block: int = 131072):
+                block: int = 131072,
+                min_shard_rows: "int | None" = None):
     """Per-fold Grams ``X^T diag(t_f) X`` and moments ``X^T (t_f * y)``.
 
     Never materializes the [F, n, s] fold-replicated design (tens of GB
@@ -104,6 +105,11 @@ def _fold_grams(X: np.ndarray, y: np.ndarray, train: np.ndarray,
     small ints, so int8 x int8 -> int32 matmuls (MXU-native) keep every
     partial sum exact; moments are s-sized and computed exactly on the
     host in float64.
+
+    With >1 device, a binary matrix, and ``min_shard_rows`` cleared, the
+    k-mer axis shards over the whole mesh and ONE psum over ICI merges
+    the O(F s^2) partials (parallel/sharded.sharded_fold_grams_fn) —
+    int32 partial sums keep the result bit-identical to single-device.
     """
     n, s = X.shape
     F = train.shape[0]
@@ -114,6 +120,25 @@ def _fold_grams(X: np.ndarray, y: np.ndarray, train: np.ndarray,
     try:
         import jax
         import jax.numpy as jnp
+
+        if binary and min_shard_rows is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from strainscan_tpu.parallel import sharded as psh
+
+            mesh = psh.l2_mesh(n, min_shard_rows)
+            if mesh is not None:
+                npad = psh.pad_rows(mesh, n)
+                X8 = np.zeros((npad, s), np.int8)
+                X8[:n] = X
+                T8 = np.zeros((F, npad), np.int8)
+                T8[:, :n] = train
+                Xd = psh.shard_rows(mesh, X8)
+                Td = jax.device_put(
+                    T8, NamedSharding(mesh, P(None, ("data", "index"))))
+                grams = np.asarray(psh.sharded_fold_grams_fn(mesh)(Xd, Td),
+                                   dtype=np.float64)
+                return grams, moments
 
         nb = -(-n // block)
         npad = nb * block
@@ -253,7 +278,8 @@ def enet_cv_fit(X: np.ndarray, y: np.ndarray,
     test_masks = shuffle_split_masks(n, cfg.enet_cv_niter,
                                      cfg.enet_test_size, cfg.enet_seed)
     train_masks = ~test_masks
-    grams, moments = _fold_grams(X, y, train_masks)
+    grams, moments = _fold_grams(X, y, train_masks,
+                                 min_shard_rows=cfg.shard_min_l2_rows)
     n_train = train_masks.sum(axis=1)
     W = _cd_path_all_folds(grams, moments, n_train, alphas, l1r,
                            cfg.enet_max_iter, cfg.enet_tol)

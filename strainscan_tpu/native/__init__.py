@@ -73,7 +73,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int]
         lib.fastx_kmers.restype = ctypes.c_longlong
         lib.fastx_kmers.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
         lib.fastx_free_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
         lib.table_build.restype = ctypes.c_int

@@ -242,8 +242,13 @@ static void scan_seq(const unsigned char *enc, size_t n, int k, int mode,
 
 /* Extract all packed k-mers of every sequence in `path`.
  * mode: 0 = forward only, 1 = both orientations, 2 = canonical.
+ * drop_last: skip each record's LAST window — bug-compatibility with
+ * the reference's default tree build (Build_tree.py:100,113 iterates
+ * range(len-ksize), missing one window per contig; Build_tree_mem
+ * fixed it, so the canonical/memory-efficient path passes 0).
  * Returns count; *out is malloc'ed (caller frees via fastx_free_u64). */
-long long fastx_kmers(const char *path, int k, int mode, uint64_t **out) {
+long long fastx_kmers(const char *path, int k, int mode, int drop_last,
+                      uint64_t **out) {
     init_code();
     fastx_t *h = (fastx_t *)fastx_open(path);
     if (!h) return -1;
@@ -263,11 +268,11 @@ long long fastx_kmers(const char *path, int k, int mode, uint64_t **out) {
             size_t n = strlen(seq);
             if (n > enc_cap) { enc_cap = n * 2; enc = (unsigned char *)realloc(enc, enc_cap); }
             for (size_t i = 0; i < n; i++) enc[i] = CODE[(unsigned char)seq[i]];
-            scan_seq(enc, n, k, mode, &v);
+            scan_seq(enc, drop_last && n ? n - 1 : n, k, mode, &v);
             read_line(h); read_line(h);
         } else {
             if (line[0] == '>') {
-                if (slen) { scan_seq(enc, slen, k, mode, &v); slen = 0; }
+                if (slen) { scan_seq(enc, drop_last ? slen - 1 : slen, k, mode, &v); slen = 0; }
             } else {
                 size_t n = strlen(line);
                 if (slen + n > enc_cap) {
@@ -280,7 +285,7 @@ long long fastx_kmers(const char *path, int k, int mode, uint64_t **out) {
             }
         }
     }
-    if (fmt == 2 && slen) scan_seq(enc, slen, k, mode, &v);
+    if (fmt == 2 && slen) scan_seq(enc, drop_last ? slen - 1 : slen, k, mode, &v);
     free(enc);
     fastx_close(h);
     *out = v.data;

@@ -22,9 +22,18 @@ REF_COPY = os.path.join(REPO, ".refrun", "reference")
 
 
 def ensure_ref_copy() -> str:
-    """Stage a writable reference copy with an executable jellyfish."""
+    """Stage a writable reference copy with an executable jellyfish,
+    plus the tool shims the plasmid path needs: a ``dashing_s128``
+    stand-in (the real binary is absent from the checkout), and a bin/
+    dir holding ``python`` and ``Rscript`` wrappers picked up via PATH
+    when StrainScan.py re-invokes the build (StrainScan.py:235,
+    Cluster.py:58-66)."""
     jf = os.path.join(REF_COPY, "library", "jellyfish-linux")
-    if not (os.path.isfile(jf) and os.access(jf, os.X_OK)):
+    bin_dir = os.path.join(REPO, ".refrun", "bin")
+    dash = os.path.join(REF_COPY, "library", "dashing_s128")
+    if not (os.path.isfile(jf) and os.access(jf, os.X_OK)
+            and os.path.isfile(dash)
+            and os.path.isfile(os.path.join(bin_dir, "python"))):
         if os.path.isdir(REF_COPY):
             shutil.rmtree(REF_COPY)
         os.makedirs(os.path.join(REF_COPY, "library"))
@@ -39,6 +48,28 @@ def ensure_ref_copy() -> str:
                     and os.path.isfile(src):
                 shutil.copy(src, os.path.join(REF_COPY, "library", fn))
         os.chmod(jf, 0o755)
+        with open(dash, "w") as f:
+            f.write("#!/bin/sh\n"
+                    f'exec "{sys.executable}" '
+                    f'"{os.path.join(REPO, "tools", "ref_dashing.py")}" '
+                    '"$@"\n')
+        os.chmod(dash, 0o755)
+        os.makedirs(bin_dir, exist_ok=True)
+        runref = os.path.join(REPO, "tools", "run_reference.py")
+        with open(os.path.join(bin_dir, "python"), "w") as f:
+            # os.system('python StrainScan_build.py ...') from the
+            # plasmid path -> re-enter the compat wrapper with the same
+            # cwd so the child build gets the same shims
+            f.write("#!/bin/sh\n"
+                    f'exec "{sys.executable}" "{runref}" "{REF_COPY}" '
+                    '"$PWD" "$@"\n')
+        os.chmod(os.path.join(bin_dir, "python"), 0o755)
+        with open(os.path.join(bin_dir, "Rscript"), "w") as f:
+            f.write("#!/bin/sh\n"
+                    f'exec "{sys.executable}" '
+                    f'"{os.path.join(REPO, "tools", "ref_rscript.py")}" '
+                    '"$@"\n')
+        os.chmod(os.path.join(bin_dir, "Rscript"), 0o755)
     return REF_COPY
 
 

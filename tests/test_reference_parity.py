@@ -135,9 +135,11 @@ def _assert_reports_match(ours_path, ref_path, enet_rtol=1e-9):
     return False
 
 
-def _run_pair(d, name, fq, db, refdb, cfg=None, ref_args=(), fq2=""):
+def _run_pair(d, name, fq, db, refdb, cfg=None, ref_args=(), fq2="",
+              rgenome=""):
     ours = os.path.join(d, f"ours_{name}")
-    run_identify(fq, fq2, db, ours, cfg or IdentifyConfig())
+    run_identify(fq, fq2, db, ours, cfg or IdentifyConfig(),
+                 rgenome=rgenome)
     ref_out = os.path.join(d, f"ref_{name}")
     args = ["-i", fq, "-d", refdb, "-o", ref_out] + list(ref_args)
     if fq2:
@@ -448,3 +450,84 @@ def test_memory_efficient_db(dbs):
     ours, ref = _run_pair(d, "mem", fq, mdb, mrefdb)
     _assert_reports_match(os.path.join(ours, "final_report.txt"),
                           os.path.join(ref, "final_report.txt"))
+
+
+@pytest.fixture(scope="module")
+def plasmid_dbs(tmp_path_factory):
+    """Two same-cluster strains whose genome files each carry a distinct
+    short (<100 kb) plasmid contig — the -p 1 use case
+    (StrainScan.py:47-96,225-266).  Plasmids are disjoint so the
+    rebuilt DB_plasmid forms two SINGLETON clusters: the reference's
+    re-build then needs no sibeliaz (skipped for single-strain
+    clusters, Build_kmer_sets...sp.py:612) and no random down-sampling
+    (node sets < maxk), keeping its plasmid DB deterministic and
+    head-to-head comparable with ours."""
+    d = tmp_path_factory.mktemp("parity_plasmid")
+    gdir = d / "genomes"
+    gdir.mkdir()
+    chrom = _rand_genome(400_000)
+    pA1 = _rand_genome(6_000)
+    pA2 = _rand_genome(8_000)
+    # d(A1, A2) ~ (2*60*31 + 6000 + 8000) / ~416k = 0.043 < 0.05:
+    # same cluster despite the distinct plasmids
+    with open(gdir / "A1.fa", "w") as f:
+        f.write(f">A1_chr\n{chrom}\n>pA1\n{pA1}\n")
+    with open(gdir / "A2.fa", "w") as f:
+        f.write(f">A2_chr\n{_mutate(chrom, 60)}\n>pA2\n{pA2}\n")
+    with open(gdir / "B1.fa", "w") as f:
+        f.write(f">B1\n{_rand_genome(300_000)}\n")
+    db = str(d / "DB")
+    build_database(str(gdir), db, BuildConfig(exact_distance=True))
+    import json
+
+    man = json.load(open(os.path.join(db, "manifest.json")))
+    assert man["n_clusters"] == 2, "A1+A2 must share a cluster"
+    refdb = str(d / "REFDB")
+    export_reference_db(db, refdb)
+    # plasmid-only genome dir for -p 2
+    pdir = d / "plasmids"
+    pdir.mkdir()
+    with open(pdir / "pA1.fa", "w") as f:
+        f.write(f">pA1\n{pA1}\n")
+    with open(pdir / "pA2.fa", "w") as f:
+        f.write(f">pA2\n{pA2}\n")
+    reads = (_sim_reads(chrom, 5) + _sim_reads(pA1, 6)
+             + _sim_reads(pA2, 6))
+    fq = str(d / "plasmid.fq")
+    _write_fq(fq, reads)
+    return str(d), str(gdir), str(pdir), db, refdb, fq
+
+
+def test_plasmid_mode_p1(plasmid_dbs):
+    """-p 1 head-to-head (round-4 VERDICT item 4): short-contig
+    extraction from -r genomes, re-build of DB_plasmid with -n 500, and
+    re-identify — final report AND possible_plasmids.txt byte-compared
+    against the reference driving its own StrainScan_build.py."""
+    d, gdir, pdir, db, refdb, fq = plasmid_dbs
+    ours, ref = _run_pair(d, "p1", fq, db, refdb,
+                          cfg=IdentifyConfig(plasmid_mode=1),
+                          ref_args=["-p", "1", "-r", gdir],
+                          rgenome=gdir)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+    a = open(os.path.join(ours, "possible_plasmids.txt")).read()
+    b = open(os.path.join(ref, "possible_plasmids.txt")).read()
+    assert a == b, f"possible_plasmids.txt differs:\n{a}\nvs\n{b}"
+    names = {r["Strain_Name"]
+             for r in parse_report(os.path.join(ref, "final_report.txt"))}
+    assert names == {"A1", "A2"}, names
+
+
+def test_plasmid_mode_p2(plasmid_dbs):
+    """-p 2: the user-supplied -r dir IS the plasmid reference set — no
+    extraction, straight re-build + re-identify (StrainScan.py:229-230)."""
+    d, gdir, pdir, db, refdb, fq = plasmid_dbs
+    ours, ref = _run_pair(d, "p2", fq, db, refdb,
+                          cfg=IdentifyConfig(plasmid_mode=2),
+                          ref_args=["-p", "2", "-r", pdir],
+                          rgenome=pdir)
+    _assert_reports_match(os.path.join(ours, "final_report.txt"),
+                          os.path.join(ref, "final_report.txt"))
+    names = {r["Strain_Name"]
+             for r in parse_report(os.path.join(ref, "final_report.txt"))}
+    assert names == {"pA1", "pA2"}, names

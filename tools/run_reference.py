@@ -36,6 +36,18 @@ def _patch_modern_apis():
 
     random.sample = sample
 
+    # Deterministic directory listings: the reference clusters genomes
+    # in os.listdir order (Cluster.py:20-22, StrainScan.py:49), which is
+    # filesystem-arbitrary; cutree cluster NUMBERING follows observation
+    # order, so parity tests need a defined order.  Sorting is a
+    # determinism patch only — no numeric behavior changes.
+    _listdir = os.listdir
+
+    def listdir(path="."):
+        return sorted(_listdir(path))
+
+    os.listdir = listdir
+
     import scipy.sparse as sp
 
     if not hasattr(sp.csr_matrix, "A"):
@@ -76,6 +88,14 @@ def main():
     sys.path.insert(0, os.path.join(ref_root, "library"))
     sys.path.insert(0, ref_root)
     sys.path.insert(0, shim)
+    # plasmid mode shells `python StrainScan_build.py` / `Rscript ...`
+    # (StrainScan.py:235, Cluster.py:58): resolve them to the harness
+    # wrappers staged by tests/ref_harness.ensure_ref_copy
+    bin_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".refrun", "bin")
+    if os.path.isdir(bin_dir):
+        os.environ["PATH"] = bin_dir + os.pathsep + os.environ.get(
+            "PATH", "")
     _patch_modern_apis()
 
     os.makedirs(workdir, exist_ok=True)

@@ -135,3 +135,49 @@ def test_round_trip_identify_parity(dbs):
     ra = open(os.path.join(out_a, "final_report.txt")).read()
     rb = open(os.path.join(out_b, "final_report.txt")).read()
     assert ra == rb
+
+
+def test_export_writes_tree_pkl_and_distance_text(tmp_path):
+    """Export-fidelity nits (round-4 VERDICT missing #4): tree.pkl is
+    present for MULTI-node trees too (the reference writes it always,
+    reads it only single-node), and the Cluster_Result text distance
+    matrices exist in the reference formats."""
+    import pickle
+    import sys
+
+    import numpy as np
+
+    from strainscan_tpu.build.convert import export_reference_db
+    from strainscan_tpu.build.pipeline import build_database
+    from strainscan_tpu.config import BuildConfig
+
+    rng = np.random.default_rng(4)
+    bases = np.array(list("ACGT"))
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    for name in ("A", "B", "C"):
+        seq = "".join(rng.choice(bases, size=20_000))
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{seq}\n")
+    db = str(tmp_path / "DB")
+    build_database(str(gdir), db, BuildConfig())
+    ref = str(tmp_path / "REF")
+    export_reference_db(db, ref)
+
+    pkl = os.path.join(ref, "Tree_database", "tree.pkl")
+    assert os.path.exists(pkl)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "tools", "refcompat"))
+    t = pickle.load(open(pkl, "rb"))
+    assert len(t.all_nodes()) >= 3, "multi-node tree must be pickled"
+
+    dm = os.path.join(ref, "Cluster_Result", "distance_matrix.txt")
+    dr = os.path.join(ref, "Cluster_Result", "distance_matrix_rebuild.txt")
+    assert os.path.exists(dm) and os.path.exists(dr)
+    header = open(dm).readline().rstrip("\n").split("\t")
+    assert len(header) == 4  # ##Names + 3 strains
+    rrows = open(dr).read().rstrip("\n").split("\n")
+    assert len(rrows) == 4   # header + 3 rows
+    # rebuild file carries distances (self-distance 0)
+    first = rrows[1].split("\t")
+    assert float(first[1]) == 0.0

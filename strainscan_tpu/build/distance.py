@@ -83,27 +83,40 @@ def genome_signature(path: str, k: int, m: int,
 def signature_jaccard(sigs: np.ndarray, block: int = 256) -> np.ndarray:
     """[n, n] Jaccard estimates from stacked signatures [n, m].
 
-    Blocked vectorized equality reduction (host NumPy — at 1647 genomes
-    x 4096 buckets this is ~20 G byte-compares, seconds of BLAS-free
-    array work; dispatching it to a remote-tunnel TPU costs more in
-    latency than it saves).  Empty buckets (tiny genomes): empty on one
-    side is a definite mismatch, both-empty buckets carry no signal and
-    drop from the denominator."""
+    Exact reformulation of the pairwise equality reduction as two
+    matmuls (round-4 VERDICT weak #6 — the blocked O(n^2 m)
+    byte-compare loop was the worst-scaling build stage left, 47.9 s at
+    1647 genomes):
+
+    * a signature VALUE determines its bucket (``h & (m-1)`` is the
+      bucket index), so per-pair match counts are set-intersection
+      sizes over the nonempty values — one sparse one-hot product
+      ``H @ H.T`` with exactly one nonzero per (genome, nonempty
+      bucket);
+    * the denominator ``|nonempty_i OR nonempty_j|`` expands to
+      ``ne_i + ne_j - (AN @ AN.T)`` — one dense float32 GEMM on the
+      0/1 nonempty mask.
+
+    Both factors are exact integer counts, so the result is
+    bit-identical to the old loop.  Empty buckets: empty on one side is
+    a definite mismatch, both-empty buckets carry no signal and drop
+    from the denominator."""
+    import scipy.sparse as sp
+
     n, m = sigs.shape
     nonempty = sigs != _EMPTY64
-    out = np.zeros((n, n), dtype=np.float64)
-    for i in range(0, n, block):
-        a = sigs[i : i + block]
-        an = nonempty[i : i + block]
-        for j in range(0, n, block):
-            b = sigs[j : j + block]
-            bn = nonempty[j : j + block]
-            eq = ((a[:, None, :] == b[None, :, :])
-                  & an[:, None, :] & bn[None, :, :]).sum(-1)
-            info = (an[:, None, :] | bn[None, :, :]).sum(-1)
-            out[i : i + block, j : j + block] = np.where(
-                info > 0, eq / np.maximum(info, 1), 0.0)
-    return out
+    row_idx, col_idx = np.nonzero(nonempty)
+    vals = sigs[row_idx, col_idx]
+    uniq, inverse = np.unique(vals, return_inverse=True)
+    H = sp.csr_matrix(
+        (np.ones(vals.size, dtype=np.int32), (row_idx, inverse)),
+        shape=(n, uniq.size))
+    eq = np.asarray((H @ H.T).todense(), dtype=np.float64)
+    an = nonempty.astype(np.float32)
+    both = (an @ an.T).astype(np.float64)
+    ne = nonempty.sum(axis=1).astype(np.float64)
+    info = ne[:, None] + ne[None, :] - both
+    return np.where(info > 0, eq / np.maximum(info, 1), 0.0)
 
 
 def distance_matrix(

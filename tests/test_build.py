@@ -197,3 +197,41 @@ def test_overlap_matrix(built_cst):
         member = np.isin(cl.kmers, union, assume_unique=True)
         oc = cluster_ids.index(other)
         assert np.array_equal(member, om[:, oc] > 0)
+
+
+def test_signature_jaccard_matmul_matches_loop_oracle():
+    """The matmul reformulation must be bit-identical to the original
+    blocked equality loop (exact integer counts either way)."""
+    import numpy as np
+
+    from strainscan_tpu.build import distance
+
+    rng = np.random.default_rng(2)
+    n, m = 37, 256
+    sigs = distance.mix64(rng.integers(0, 1 << 62, size=(n, m),
+                                       dtype=np.uint64))
+    # inject shared values (pairs that actually match) and empties
+    sigs[1] = sigs[0]
+    sigs[2, :128] = sigs[0, :128]
+    sigs[3, rng.integers(0, m, size=40)] = distance._EMPTY64
+    sigs[4, :] = distance._EMPTY64
+
+    def oracle(sigs, block=16):
+        n, m = sigs.shape
+        nonempty = sigs != distance._EMPTY64
+        out = np.zeros((n, n))
+        for i in range(0, n, block):
+            a, an = sigs[i:i+block], nonempty[i:i+block]
+            for j in range(0, n, block):
+                b, bn = sigs[j:j+block], nonempty[j:j+block]
+                eq = ((a[:, None, :] == b[None, :, :])
+                      & an[:, None, :] & bn[None, :, :]).sum(-1)
+                info = (an[:, None, :] | bn[None, :, :]).sum(-1)
+                out[i:i+block, j:j+block] = np.where(
+                    info > 0, eq / np.maximum(info, 1), 0.0)
+        return out
+
+    got = distance.signature_jaccard(sigs)
+    want = oracle(sigs)
+    assert np.array_equal(got, want)
+    assert got[0, 1] == 1.0 and 0.4 < got[0, 2] < 0.6

@@ -16,7 +16,7 @@ all asserted bit-exact against the single-device pipeline.
 
 Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
        python benchmarks/mesh_scaling.py
-Writes benchmarks/MESH_SCALING_r04.json.
+Writes benchmarks/MESH_SCALING_r05.json.
 """
 
 import json
@@ -48,7 +48,7 @@ from strainscan_tpu.parallel.sharded import (ShardedCountPipeline,  # noqa: E402
                                              make_mesh)
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "MESH_SCALING_r04.json")
+                   "MESH_SCALING_r05.json")
 K = 31
 READ_LEN = 150
 

@@ -178,6 +178,8 @@ def genome_kmers(
                             ctypes.byref(out))
         if n < 0:
             raise IOError(f"cannot open {path}")
+        if n == 0:   # no windows: the native vec never allocated (NULL)
+            return np.empty(0, dtype=np.uint64)
         try:
             arr = np.ctypeslib.as_array(out, shape=(n,)).astype(np.uint64, copy=True)
         finally:

@@ -114,3 +114,38 @@ def test_genome_kmers(sample_files, mode, use_native):
 
 def test_genome_prefix():
     assert fastx.genome_prefix("/x/GCF_000144385.1.fna.gz") == "GCF_000144385"
+
+
+def test_genome_kmers_drop_last(tmp_path):
+    """drop_last skips each contig's LAST window (the reference default
+    tree build's off-by-one, Build_tree.py:100,113) — native and Python
+    paths must agree, and drop_last=False keeps every window."""
+    import numpy as np
+
+    from strainscan_tpu.io import fastx
+
+    rng = np.random.default_rng(6)
+    c1 = "".join(rng.choice(list("ACGT"), size=100))
+    c2 = "".join(rng.choice(list("ACGT"), size=64))
+    path = str(tmp_path / "g.fa")
+    with open(path, "w") as f:
+        f.write(f">c1\n{c1}\n>c2\n{c2}\n")
+    k = 31
+    full = fastx.genome_kmers(path, k, mode="both", unique=False)
+    dropped = fastx.genome_kmers(path, k, mode="both", unique=False,
+                                 drop_last=True)
+    # one window fewer per contig, two orientations each
+    assert full.size == 2 * ((100 - k + 1) + (64 - k + 1))
+    assert dropped.size == full.size - 4
+    py_full = fastx.genome_kmers(path, k, mode="both", unique=False,
+                                 use_native=False)
+    py_drop = fastx.genome_kmers(path, k, mode="both", unique=False,
+                                 use_native=False, drop_last=True)
+    assert np.array_equal(np.sort(full), np.sort(py_full))
+    assert np.array_equal(np.sort(dropped), np.sort(py_drop))
+    # a contig of exactly k bases yields 1 window, 0 with drop_last
+    with open(path, "w") as f:
+        f.write(f">only\n{c1[:k]}\n")
+    assert fastx.genome_kmers(path, k, mode="both", unique=False).size == 2
+    assert fastx.genome_kmers(path, k, mode="both", unique=False,
+                              drop_last=True).size == 0

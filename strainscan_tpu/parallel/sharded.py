@@ -24,6 +24,7 @@ Layout
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -531,16 +532,25 @@ class ShardedCountPipeline:
         return out
 
 
+_L2_MESH_CACHE: list = []
+
+
 def l2_mesh(n_rows: int, min_rows: int) -> Optional[Mesh]:
     """Mesh for sharded L2 statistics, or None when sharding would not
     pay: single device, multi-host (the L2 solve is replicated per
     host), or a matrix below the size gate (collective latency would
-    exceed the matvec)."""
+    exceed the matvec).
+
+    The mesh is cached for the life of the process (devices don't
+    change) so the jitted shard_map factories below — lru_cached ON the
+    mesh — compile once per shape, not once per sample."""
     if n_rows < min_rows:
         return None
     if jax.process_count() > 1 or jax.device_count() < 2:
         return None
-    return make_mesh()
+    if not _L2_MESH_CACHE:
+        _L2_MESH_CACHE.append(make_mesh())
+    return _L2_MESH_CACHE[0]
 
 
 def shard_rows(mesh: Mesh, a: np.ndarray) -> jax.Array:
@@ -556,6 +566,7 @@ def pad_rows(mesh: Mesh, n: int) -> int:
     return n + (-n) % nd
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_colsum_fn(mesh: Mesh):
     """jit: (X8 [n, s] int8 row-sharded, m [n] bool row-sharded) ->
     replicated int32 [s] = X^T m.
@@ -578,6 +589,7 @@ def sharded_colsum_fn(mesh: Mesh):
     ))
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_colsum_unused_fn(mesh: Mesh):
     """Fused ``X^T (~used & big)`` variant of :func:`sharded_colsum_fn`
     — one dispatch per Pre-Scan round (get_candidate_arr, :121-134)."""
@@ -596,6 +608,7 @@ def sharded_colsum_unused_fn(mesh: Mesh):
     ))
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_or_col_fn(mesh: Mesh):
     """``used |= X[:, c]`` with both arrays row-sharded (the Pre-Scan
     'used' union stays device-resident across rounds)."""
@@ -611,6 +624,7 @@ def sharded_or_col_fn(mesh: Mesh):
     ))
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_fold_grams_fn(mesh: Mesh, block: int = 131072):
     """jit: (X8 [n, s] int8 row-sharded, T8 [F, n] int8 col-sharded) ->
     replicated int32 [F, s, s] per-fold Grams X^T diag(t_f) X.

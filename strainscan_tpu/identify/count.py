@@ -45,16 +45,15 @@ def _sharded_pipeline(keys: np.ndarray, table: KmerTable, canonical: bool,
     """Cached ShardedCountPipeline for this key set (content-keyed LRU)."""
     from strainscan_tpu.parallel.sharded import ShardedCountPipeline
 
-    ident = None
+    # identity fast path still checks the SEMANTIC fields (k, canonical)
+    # — the same array probed with a different canonicalization must not
+    # reuse a pipeline; batch geometry re-pins on reset() so it is not
+    # part of identity
     for i, (ckeys, cmeta, cpipe) in enumerate(_SHARDED_CACHE):
-        if ckeys is keys:
-            ident = i, cmeta, cpipe
-            break
-    if ident is not None:
-        i, _, pipe = ident
-        _SHARDED_CACHE.insert(0, _SHARDED_CACHE.pop(i))
-        pipe.reset()
-        return pipe
+        if ckeys is keys and cmeta[1] == table.k and cmeta[2] == canonical:
+            _SHARDED_CACHE.insert(0, _SHARDED_CACHE.pop(i))
+            cpipe.reset()
+            return cpipe
     cfg_key = _sharded_cache_key(keys, table, canonical, cfg)
     for i, (ckeys, cmeta, cpipe) in enumerate(_SHARDED_CACHE):
         if cmeta == cfg_key:

@@ -258,3 +258,21 @@ def test_sharded_cache_eviction_closes(problem):
     kept.reset()
     assert kept._shape is None and kept._total is None
     icount._SHARDED_CACHE.clear()
+
+
+def test_sharded_cache_identity_respects_canonical(problem):
+    """The identity fast path must not reuse a pipeline across a
+    canonical-flag change (different probe semantics)."""
+    from strainscan_tpu.config import IdentifyConfig
+    from strainscan_tpu.identify import count as icount
+
+    db, _ = problem
+    keys = np.sort(np.fromiter(db, dtype=np.uint64))
+    table = KmerTable.build(keys, k=31)
+    cfg = IdentifyConfig()
+    icount._SHARDED_CACHE.clear()
+    p1 = icount._sharded_pipeline(keys, table, False, cfg)
+    p2 = icount._sharded_pipeline(keys, table, True, cfg)
+    assert p2 is not p1
+    assert p2.canonical and not p1.canonical
+    icount._SHARDED_CACHE.clear()

@@ -215,6 +215,17 @@ class L2DB:
     recluster: Dict[int, List[str]]
     table: KmerTable
 
+    def dense8(self) -> np.ndarray:
+        """The k-mer x strain matrix densified to int8, cached: the
+        Pre-Scan kernels consume int8 and re-densifying per sample is
+        pure host memory traffic (vote_strain_l2 runs once per sample
+        per multi-strain cluster).  Callers must treat it read-only."""
+        cached = getattr(self, "_dense8", None)
+        if cached is None:
+            cached = np.asarray(self.matrix.todense(), dtype=np.int8)
+            object.__setattr__(self, "_dense8", cached)
+        return cached
+
 
 def load_manifest(db_dir: str) -> dict:
     with open(os.path.join(db_dir, "manifest.json")) as f:
@@ -328,10 +339,37 @@ def _load_tree_db_uncached(db_dir: str) -> TreeDB:
     )
 
 
+# small LRU of L2DB objects for repeat identify calls (serving loops):
+# vote re-loads every detected multi-strain cluster per sample, and at
+# E. coli scale the npz read + CSR assembly is a visible slice of the
+# warm L2 vote.  Keyed on (path, mtime) like _TREE_CACHE; callers treat
+# the returned L2DB as read-only (the vote path does).
+_L2_CACHE: dict = {}
+_L2_CACHE_MAX = 8
+
+
 def load_l2_db(db_dir: str, cid: int) -> Optional[L2DB]:
     d = os.path.join(db_dir, "l2", f"C{cid}")
     if not os.path.isdir(d):
         return None
+    try:
+        stamp = os.path.getmtime(os.path.join(d, "data.npz"))
+    except OSError:
+        stamp = None
+    key = (os.path.abspath(d), stamp)
+    if stamp is not None and key in _L2_CACHE:
+        db = _L2_CACHE.pop(key)
+        _L2_CACHE[key] = db          # move to MRU position
+        return db
+    db = _load_l2_db_uncached(d, cid)
+    if db is not None and stamp is not None:
+        _L2_CACHE[key] = db
+        while len(_L2_CACHE) > _L2_CACHE_MAX:
+            _L2_CACHE.pop(next(iter(_L2_CACHE)))
+    return db
+
+
+def _load_l2_db_uncached(d: str, cid: int) -> Optional[L2DB]:
     z = np.load(os.path.join(d, "data.npz"))
     with open(os.path.join(d, "meta.json")) as f:
         meta = json.load(f)

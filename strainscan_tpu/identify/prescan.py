@@ -96,6 +96,37 @@ def _candidate(npXt: np.ndarray, y: np.ndarray) -> Tuple[int, int]:
     return cand, int(checks[cand])
 
 
+def _jit_kernels():
+    """Module-level jitted colsum/or helpers — created ONCE so repeat
+    samples don't re-trace (a fresh closure per _L2Kernels instance
+    missed the jit cache every sample)."""
+    global _JIT_KERNELS
+    if _JIT_KERNELS is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def colsum(Xd, m):
+            return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
+                              preferred_element_type=jnp.int32)
+
+        @jax.jit
+        def colsum_unused(Xd, used, big):
+            m = jnp.logical_and(jnp.logical_not(used), big)
+            return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
+                              preferred_element_type=jnp.int32)
+
+        @jax.jit
+        def or_col(used, Xd, c):
+            return used | (Xd[:, c] > 0)
+
+        _JIT_KERNELS = (colsum, colsum_unused, or_col)
+    return _JIT_KERNELS
+
+
+_JIT_KERNELS = None
+
+
 class _L2Kernels:
     """Device-resident Pre-Scan linear algebra (SURVEY §7: 'Pre-Scan as
     jnp mat-vecs').
@@ -159,26 +190,11 @@ class _L2Kernels:
                 else:
                     self.Xd = jnp.asarray(X8)
 
-                @jax.jit
-                def colsum(Xd, m):
-                    return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
-                                      preferred_element_type=jnp.int32)
-
-                @jax.jit
-                def colsum_unused(Xd, used, big):
-                    m = jnp.logical_and(jnp.logical_not(used), big)
-                    return jnp.einsum("ns,n->s", Xd, m.astype(jnp.int8),
-                                      preferred_element_type=jnp.int32)
-
-                @jax.jit
-                def or_col(used, Xd, c):
-                    return used | (Xd[:, c] > 0)
-
-                self._colsum = colsum
-                self._colsum_unused = colsum_unused
-                self._or_col = or_col
+                (self._colsum, self._colsum_unused,
+                 self._or_col) = _jit_kernels()
             except Exception:
                 self.jax = None
+                self.mesh = None   # never leave a half-built mesh route
         if self.jax is None:
             self.X8 = X8
 

@@ -169,8 +169,10 @@ def vote_strain_l2(
     sel = [col_of[c] for c in res if c in col_of]
     om_sel = np.asarray(cl.overlap[:, sel].todense())
     # int8 dense: the Pre-Scan kernels consume int8 directly, and f64
-    # would be 8x the footprint at E. coli L2 scale (round-1 weak #4)
-    X = np.asarray(cl.matrix.todense(), dtype=np.int8)
+    # would be 8x the footprint at E. coli L2 scale (round-1 weak #4);
+    # cached on the (LRU-cached) L2DB so repeat samples skip the
+    # densification
+    X = cl.dense8()
     out = prescan.detect_strains(
         X, py, cl.strains, cl.table.k, npp25, npp75, npp_outlier, cls_cov,
         om_sel, l2, cfg.min_snv_num, pmode, emode, cfg)

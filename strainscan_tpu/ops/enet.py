@@ -45,10 +45,12 @@ def shuffle_split_masks(n: int, n_splits: int, test_size: float,
 
 
 def alpha_grid(X: np.ndarray, y: np.ndarray, l1_ratio: float, eps: float,
-               n_alphas: int) -> np.ndarray:
+               n_alphas: int, Xty: "np.ndarray | None" = None) -> np.ndarray:
     """sklearn _alpha_grid: descending logspace from alpha_max."""
     n = X.shape[0]
-    alpha_max = np.abs(X.T @ y).max() / (n * l1_ratio)
+    if Xty is None:
+        Xty = X.T @ y
+    alpha_max = np.abs(Xty).max() / (n * l1_ratio)
     if alpha_max <= np.finfo(float).resolution:
         alpha_max = np.finfo(float).resolution
     return np.logspace(np.log10(alpha_max * eps), np.log10(alpha_max),
@@ -274,13 +276,32 @@ def enet_cv_fit(X: np.ndarray, y: np.ndarray,
     y = np.asarray(y, dtype=np.float64)
     n, s = X.shape
     l1r = cfg.enet_l1_ratio
-    alphas = alpha_grid(X, y, l1r, cfg.enet_eps, cfg.enet_nalpha)
     test_masks = shuffle_split_masks(n, cfg.enet_cv_niter,
                                      cfg.enet_test_size, cfg.enet_seed)
     train_masks = ~test_masks
-    grams, moments = _fold_grams(X, y, train_masks,
-                                 min_shard_rows=cfg.shard_min_l2_rows)
     n_train = train_masks.sum(axis=1)
+    # For 0/1 matrices (the only kind this pipeline produces) the
+    # full-data Gram/moment ride along as an extra all-ones "fold" in
+    # the SAME device scan — no separate host X^T X / X^T y GEMMs over
+    # the k-mer axis (O(n s^2) at millions of L2 rows), and the int32
+    # accumulation is exact so results are identical.  Non-binary
+    # inputs keep the float64 host GEMMs (the float32 device scan
+    # would degrade the final fit's Gram).
+    binary = X.size == 0 or (X.min() >= 0 and X.max() <= 1
+                             and np.array_equal(X, np.rint(X)))
+    if binary:
+        masks_ext = np.vstack([train_masks, np.ones((1, n), dtype=bool)])
+        grams_ext, moments_ext = _fold_grams(
+            X, y, masks_ext, min_shard_rows=cfg.shard_min_l2_rows)
+        grams, gram_full = grams_ext[:-1], grams_ext[-1]
+        moments, moment_full = moments_ext[:-1], moments_ext[-1]
+    else:
+        grams, moments = _fold_grams(
+            X, y, train_masks, min_shard_rows=cfg.shard_min_l2_rows)
+        gram_full = X.T @ X
+        moment_full = X.T @ y
+    alphas = alpha_grid(X, y, l1r, cfg.enet_eps, cfg.enet_nalpha,
+                        Xty=moment_full)
     W = _cd_path_all_folds(grams, moments, n_train, alphas, l1r,
                            cfg.enet_max_iter, cfg.enet_tol)
     # CV MSE from Gram quadratic forms: the test-fold moments are the
@@ -289,8 +310,6 @@ def enet_cv_fit(X: np.ndarray, y: np.ndarray,
     # (||y_t||^2 - 2 w.b_t + w^T G_t w) / n_test with G_t = G - G_f,
     # b_t = b - b_f — no per-(alpha, fold) residual matvec over the
     # k-mer axis (that recomputation was ~40% of the CV fit wall time).
-    gram_full = X.T @ X
-    moment_full = X.T @ y
     yty_train = (y * y) @ train_masks.T.astype(np.float64)       # [F]
     yty_test = float(y @ y) - yty_train
     gt = gram_full[None] - grams                                 # [F, s, s]

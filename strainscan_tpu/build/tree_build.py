@@ -260,9 +260,23 @@ def build_cst(
             raise ValueError(
                 f"k-mer universe has {n_univ} entries; the int32 global id "
                 f"space caps at 2^31-1 (split the build or raise alpha_ratio)")
-        for cid in leaf_ids:
-            for d_ in (Lv, spec):
-                d_[cid] = pack.lookup_sorted_u64(universe, d_[cid])
+
+        def _map_leaf(cid):
+            return (cid, pack.lookup_sorted_u64(universe, Lv[cid]),
+                    pack.lookup_sorted_u64(universe, spec[cid]))
+
+        if cfg.threads > 1 and len(leaf_ids) > 1:
+            # per-leaf galloping lookups are independent and the native
+            # search releases the GIL — thread them like leaf_extract
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(cfg.threads) as ex:
+                for cid, lv_i, sp_i in ex.map(_map_leaf, leaf_ids):
+                    Lv[cid], spec[cid] = lv_i, sp_i
+        else:
+            for cid in leaf_ids:
+                for d_ in (Lv, spec):
+                    d_[cid] = pack.lookup_sorted_u64(universe, d_[cid])
 
     def to_ids(arr: np.ndarray) -> np.ndarray:
         # closed-universe invariant: Lv|spec covers all member-genome

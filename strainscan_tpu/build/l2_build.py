@@ -218,16 +218,18 @@ def build_overlap_matrices(
         if any(cl.kmers.size for cl in l2.values()) else np.empty(0, np.uint64)
     idx_of = {cl.cid: np.searchsorted(all_l2, cl.kmers)
               for cl in l2.values()}
-    for ci, cid in enumerate(cluster_ids):
+
+    def scan_cluster(ci_cid):
+        """(ci, [(l2_cid, rows)]) for one cluster's genome union."""
+        ci, cid = ci_cid
         members = recls[cid]
         if not members:
-            continue
+            return ci, []
         # both orientations regardless of -e: the reference's mem-mode
         # jellyfish variant matches canonically (-C), which over raw L2
         # k-mers is equivalent to membership in the both-orientation union
-        kmode = "both"
         union = np.unique(np.concatenate([
-            fastx.genome_kmers(genome_of[s], cfg.ksize, mode=kmode)
+            fastx.genome_kmers(genome_of[s], cfg.ksize, mode="both")
             for s in members
         ]))
         log(f"overlap: cluster {cid} union {union.size} k-mers")
@@ -237,9 +239,23 @@ def build_overlap_matrices(
             inb = pos < all_l2.size
             pos = pos[inb]
             hit[pos[all_l2[pos] == union[inb]]] = True
-        for cl in l2.values():
-            rows = np.where(hit[idx_of[cl.cid]])[0]
-            cols[cl.cid].append((ci, rows))
+        return ci, [(cl.cid, np.where(hit[idx_of[cl.cid]])[0])
+                    for cl in l2.values()]
+
+    work = list(enumerate(cluster_ids))
+    if cfg.threads > 1 and len(work) > 1:
+        # per-cluster scans are independent; the native k-merizer and
+        # the numpy set ops release the GIL (same pool pattern as
+        # tree_build leaf_extract / id_space)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(cfg.threads) as ex:
+            results = list(ex.map(scan_cluster, work))
+    else:
+        results = [scan_cluster(w) for w in work]
+    for ci, pairs in sorted(results):
+        for l2_cid, rows in pairs:
+            cols[l2_cid].append((ci, rows))
     for cl in l2.values():
         r_parts, c_parts = [], []
         for ci, rows in cols[cl.cid]:

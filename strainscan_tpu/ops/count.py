@@ -215,13 +215,27 @@ def _count_stats(counts: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("size",))
 def _sparse_fetch(counts: jax.Array, size: int):
     """(indices int32 [size], values int32 [size]) of the nonzero counts,
-    zero-padded.  ``size`` is bucketed to a power of two by the caller so
-    the jit cache stays small."""
+    zero-padded.  ``size`` is FIXED per table geometry (see
+    :func:`_sparse_cap`) so this — the expensive-to-compile program, a
+    sized nonzero over tens of millions of entries (~8-22 s of remote
+    compile on the tunnel backend) — compiles exactly once per table,
+    not once per sample-dependent nnz bucket."""
     (idx,) = jnp.nonzero(counts, size=size, fill_value=0)
     n = jnp.count_nonzero(counts)
     vals = jnp.where(jnp.arange(size) < n,
                      counts.at[idx].get(mode="promise_in_bounds"), 0)
     return idx.astype(jnp.int32), vals
+
+
+def _sparse_cap(n_keys: int) -> int:
+    """Static sparse-fetch capacity for a table: n_keys/8 rounded up to a
+    power of two (identify samples typically touch ~5% of an E. coli-
+    scale table; nnz above the cap falls back to the dense fetch, where
+    sparse would not have paid anyway)."""
+    return 1 << max(10, (max(n_keys // 8, 1) - 1).bit_length())
+
+
+_SLICE_GRAN = 1 << 16  # d2h prefix rounding: few distinct slice shapes
 
 
 def fetch_counts(dev_counts, n_keys: int) -> np.ndarray:
@@ -249,12 +263,15 @@ def fetch_counts(dev_counts, n_keys: int) -> np.ndarray:
     dense_bytes = n_keys * vbytes
     sparse_bytes = nnz * (4 + vbytes)
     if sparse_bytes < dense_bytes // 2 and nnz > 0:
-        size = 1 << max(10, (nnz - 1).bit_length())
-        if size < n_keys:
+        size = _sparse_cap(n_keys)
+        if nnz <= size and size < n_keys:
             idx, vals = _sparse_fetch(dev_counts, size)
             if vdtype is not None:
                 vals = vals.astype(vdtype)
-            idx, vals = jax.device_get((idx, vals))
+            # d2h only the used prefix (rounded so the trivial slice
+            # programs stay few); the padded tail is zeros
+            m = min(size, -(-nnz // _SLICE_GRAN) * _SLICE_GRAN)
+            idx, vals = jax.device_get((idx[:m], vals[:m]))
             out = np.zeros(n_keys, dtype=np.int32)
             out[idx[:nnz]] = vals[:nnz].astype(np.int32)
             return out

@@ -531,3 +531,48 @@ def test_plasmid_mode_p2(plasmid_dbs):
     names = {r["Strain_Name"]
              for r in parse_report(os.path.join(ref, "final_report.txt"))}
     assert names == {"pA1", "pA2"}, names
+
+
+def test_direct_build_parity_singleton_db(tmp_path):
+    """The reference's OWN StrainScan_build.py (via the dashing/Rscript
+    shims) and our builder, run on the SAME genomes, must produce DBs
+    that identify identically.  Limited to singleton clusters — the
+    reference's multi-strain L2 build needs sibeliaz, which does not
+    exist in this image (its plasmid path exercises the same machinery
+    in test_plasmid_mode_p1).  Genomes stay under maxk/2 = 15 kb so no
+    node set is randomly down-sampled — the reference's random.sample
+    makes bigger builds nondeterministic by design (SURVEY §7 hard
+    part 3)."""
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    strains = {}
+    for name in ("X1", "X2", "X3"):
+        strains[name] = _rand_genome(14_500)
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n{strains[name]}\n")
+    ours_db = str(tmp_path / "DB")
+    build_database(str(gdir), ours_db, BuildConfig())
+
+    ref_db = str(tmp_path / "REF_BUILT")
+    r = run_reference("StrainScan_build.py",
+                      ["-i", str(gdir), "-o", ref_db],
+                      str(tmp_path / "wk_build"))
+    assert r.returncode == 0, f"reference build failed:\n{r.stderr[-3000:]}"
+
+    fq = str(tmp_path / "mix.fq")
+    _write_fq(fq, _sim_reads(strains["X1"], 8) + _sim_reads(strains["X2"], 4))
+
+    ours_out = str(tmp_path / "ours_out")
+    run_identify(fq, "", ours_db, ours_out, IdentifyConfig())
+    ref_out = str(tmp_path / "ref_out")
+    r = run_reference("StrainScan.py",
+                      ["-i", fq, "-d", ref_db, "-o", ref_out],
+                      str(tmp_path / "wk_id"))
+    assert r.returncode == 0, f"reference identify failed:\n{r.stderr[-3000:]}"
+    exact = _assert_reports_match(os.path.join(ours_out, "final_report.txt"),
+                                  os.path.join(ref_out, "final_report.txt"))
+    assert exact, "direct-build reports not byte-identical"
+    names = {r_["Strain_Name"]
+             for r_ in parse_report(os.path.join(ref_out,
+                                                 "final_report.txt"))}
+    assert names == {"X1", "X2"}, names

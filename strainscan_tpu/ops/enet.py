@@ -143,6 +143,13 @@ def _fold_grams(X: np.ndarray, y: np.ndarray, train: np.ndarray,
                 return grams, moments
 
         nb = -(-n // block)
+        # round the block count to a power of two: the scan program
+        # compiles per (nb, s) shape, and the Enet row count varies per
+        # sample (outlier-filtered), so free-running nb would compile a
+        # fresh program per sample on remote-compile backends; pow2
+        # rounding bounds distinct shapes at ~log(n) while the extra
+        # all-zero blocks add at most 2x to a sub-second scan
+        nb = 1 << (nb - 1).bit_length() if nb else 1
         npad = nb * block
         if binary:
             Xp = np.zeros((npad, s), dtype=np.int8)

@@ -252,3 +252,35 @@ def test_batch_identify_cli(tmp_path):
         b = open(os.path.join(single_out, "final_report.txt")).read()
         assert a == b
         assert name in a
+
+
+def test_degenerate_samples_graceful(tmp_path):
+    """Empty FASTQ, all-N reads, and reads shorter than k must run the
+    full pipeline without crashing and report no clusters (the
+    reference's 'Warning: No clusters can be detected!' contract,
+    StrainScan.py:203-204)."""
+    import numpy as np
+
+    from strainscan_tpu.build.pipeline import build_database
+    from strainscan_tpu.config import BuildConfig, IdentifyConfig
+    from strainscan_tpu.identify.pipeline import run_identify
+
+    rng = np.random.default_rng(17)
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    for name in ("A", "B"):
+        with open(gdir / f"{name}.fa", "w") as f:
+            f.write(f">{name}\n" +
+                    "".join(rng.choice(list("ACGT"), size=20_000)) + "\n")
+    db = str(tmp_path / "DB")
+    build_database(str(gdir), db, BuildConfig())
+
+    empty = tmp_path / "empty.fq"
+    empty.write_text("")
+    weird = tmp_path / "weird.fq"
+    weird.write_text("@r0\n" + "N" * 36 + "\n+\n" + "I" * 36 + "\n"
+                     "@r1\nACGT\n+\nIIII\n")
+    for fq in (empty, weird):
+        res = run_identify(str(fq), "", db, str(tmp_path / f"out_{fq.stem}"),
+                           IdentifyConfig())
+        assert res is None

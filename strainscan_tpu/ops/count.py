@@ -416,12 +416,38 @@ class CountPipeline:
     def finish(self) -> np.ndarray:
         """int32 [n_keys] hit counts aligned with the table's id space.
 
-        The slot->id remap runs ON DEVICE (one gather over ``slot_of_id``)
-        so only ``n_keys`` int32s cross the d2h link — the tunnel-attached
-        d2h path runs at ~60 MB/s, so fetching the full slot space
-        (4x larger at load factor 0.25) would dominate stream-end latency.
+        Sparse samples (the identify case: ~5% of keys touched) fetch in
+        SLOT space and remap on the host through the fp table's resident
+        ``val`` array — no ``slot_of_id`` upload at all (114 MB h2d at
+        E. coli scale, a third of the fresh-process cold cost on
+        tunneled links).  Dense samples fall back to the device-side
+        slot->id remap (one gather over slot_of_id, cached on the
+        FpTable) so only ``n_keys`` values cross the d2h link.
+        Both routes produce identical vectors: empty-slot strays are
+        dropped by the val>=0 mask exactly as the soi remap drops them.
         """
         if self.fpt is not None:
+            n_keys = self.table.n_keys
+            n_slots = self.fpt.n_slots
+            occ = self.counts[:n_slots]   # drop the miss/trash slot
+            maxc, nnz = (int(x) for x in jax.device_get(_count_stats(occ))) \
+                if n_slots else (0, 0)
+            vb = 1 if maxc < (1 << 8) else 2 if maxc < (1 << 16) else 4
+            cap = _sparse_cap(n_slots)
+            if (nnz > 0 and nnz <= cap
+                    and nnz * (4 + vb) < (n_keys * vb) // 2):
+                idx, vals = _sparse_fetch(occ, cap)
+                if vb == 1:
+                    vals = vals.astype(jnp.uint8)
+                elif vb == 2:
+                    vals = vals.astype(jnp.uint16)
+                m = min(cap, -(-nnz // _SLICE_GRAN) * _SLICE_GRAN)
+                idx, vals = jax.device_get((idx[:m], vals[:m]))
+                ids = self.fpt.val[idx[:nnz]]
+                keep = ids >= 0          # empty-slot strays drop here
+                out = np.zeros(n_keys, dtype=np.int32)
+                out[ids[keep]] = vals[:nnz][keep].astype(np.int32)
+                return out
             # cached on the FpTable, not the pipeline: a fresh pipeline is
             # built per sample, and re-uploading slot_of_id is a 114 MB h2d
             # at E. coli scale
